@@ -1,0 +1,436 @@
+"""From-scratch HTML5-ish tokenizer + tree builder with source offsets.
+
+The reference (beached/gumbo_pp) delegates parsing to the external
+Google ``gumbo`` C library (reference src/gumbo_pp.cpp:27-34); this is
+our replacement, written from public knowledge of the WHATWG HTML
+parsing algorithm, scoped to the fidelity bar of the reference's
+observable behavior (its test documents + our conformance corpus):
+
+* implied ``html``/``head``/``body`` structure (all four insertion-
+  mode-lite states), void elements, raw-text (``script``/``style``)
+  and RCDATA (``title``/``textarea``) elements,
+* implied end tags (``p``/``li``/``dd``/``dt``/``td``/``th``/``tr``/
+  table sections/``option``), generic mis-nesting recovery (pop to the
+  matching open element; unmatched end tags ignored and counted),
+* comments / doctype / CDATA / whitespace-only text classified into
+  the seven gumbo node kinds (reference gumbo_util.h:161-180),
+* character entities decoded in text and attribute values (as gumbo's
+  tokenizer does), raw source slices recoverable via true offsets.
+
+Documented divergences from full HTML5 / gumbo: no foster parenting of
+non-whitespace table text, no adoption agency for mis-nested formatting
+elements (recovery is pop-to-match), ``</p>`` with no open ``p`` does
+not synthesize an empty ``p``. Each is counted as a parse error.
+
+Designed for the hot path of a Ray actor pool: one module-level pass,
+no recursion, compiled regexes shared per process.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .dom import (
+    CDATA, COMMENT, ELEMENT, TEXT, WHITESPACE,
+    Document, Element, Node, TextNode,
+)
+
+VOID_ELEMENTS = frozenset((
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+))
+
+# <script>/<style>: content is raw text; <title>/<textarea>: RCDATA
+# (entities decoded). Both produce a single text child.
+RAWTEXT_ELEMENTS = frozenset(("script", "style", "xmp", "noembed", "noframes"))
+RCDATA_ELEMENTS = frozenset(("title", "textarea"))
+
+HEAD_ELEMENTS = frozenset((
+    "title", "meta", "link", "style", "script", "base", "basefont",
+    "bgsound", "noframes", "template",
+))
+
+_H = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+# start tag T closes the open element at the stack top when
+# top.tag in _CLOSED_BY and T in _CLOSED_BY[top.tag]
+_P_CLOSERS = frozenset((
+    "address", "article", "aside", "blockquote", "details", "dialog",
+    "div", "dl", "fieldset", "figcaption", "figure", "footer", "form",
+    "header", "hr", "main", "menu", "nav", "ol", "p", "pre", "section",
+    "table", "ul", "li", "dd", "dt",
+)) | _H
+_CELL_CLOSERS = frozenset(("td", "th", "tr", "tbody", "thead", "tfoot",
+                           "caption", "colgroup"))
+_CLOSED_BY = {
+    "p": _P_CLOSERS,
+    "li": frozenset(("li",)),
+    "dd": frozenset(("dd", "dt")),
+    "dt": frozenset(("dd", "dt")),
+    "td": _CELL_CLOSERS,
+    "th": _CELL_CLOSERS,
+    "tr": frozenset(("tr", "tbody", "thead", "tfoot", "caption")),
+    "thead": frozenset(("tbody", "tfoot")),
+    "tbody": frozenset(("tbody", "tfoot")),
+    "tfoot": frozenset(("tbody",)),
+    "option": frozenset(("option", "optgroup")),
+    "optgroup": frozenset(("optgroup",)),
+}
+
+_START_TAG_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"
+    r"(/?)>",
+    re.S,
+)
+_END_TAG_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:_-]*)\s*>")
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+_WS_RE = re.compile(r"[^ \t\n\r\f]")
+
+# parse-until-close patterns for raw-text/RCDATA content, per tag
+_RAWTEXT_CLOSE = {
+    t: re.compile(r"</" + t + r"(?=[\s/>])", re.I)
+    for t in RAWTEXT_ELEMENTS | RCDATA_ELEMENTS
+}
+
+# insertion-mode-lite states
+_BEFORE_HTML = 0
+_BEFORE_HEAD = 1
+_IN_HEAD = 2
+_AFTER_HEAD = 3
+_IN_BODY = 4
+
+
+def _decode(raw: str) -> str:
+    return unescape(raw) if "&" in raw else raw
+
+
+def _is_ws(s: str) -> bool:
+    return _WS_RE.search(s) is None
+
+
+def _parse_attrs(raw: str) -> dict:
+    attrs = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if name in attrs:           # HTML5: first occurrence wins
+            continue
+        val = m.group(2)
+        if val is None:
+            attrs[name] = ""
+        else:
+            if val[:1] in "\"'" and val[-1:] == val[:1] and len(val) >= 2:
+                val = val[1:-1]
+            attrs[name] = _decode(val)
+    return attrs
+
+
+class _TreeBuilder:
+    __slots__ = ("doc", "stack", "mode", "html", "head", "body",
+                 "parse_errors", "n")
+
+    def __init__(self, source_len: int):
+        self.doc = Document()
+        self.doc.end = self.doc.source_len = source_len
+        self.stack = [self.doc]
+        self.mode = _BEFORE_HTML
+        self.html = None
+        self.head = None
+        self.body = None
+        self.parse_errors = 0
+        self.n = source_len
+
+    # -- low-level insertion --
+
+    def _append(self, node: Node):
+        parent = self.stack[-1]
+        node.parent = parent
+        kids = parent.children
+        node.index_within_parent = len(kids)
+        kids.append(node)
+
+    def _push(self, el: Element):
+        self._append(el)
+        self.stack.append(el)
+
+    def _pop(self, pos: int, end: int | None = None):
+        """Implied close of the top element at source position pos."""
+        el = self.stack.pop()
+        if el.end <= el.start_tag_end:      # not closed by a real end tag yet
+            el.end_tag_start = pos
+            el.end = end if end is not None else pos
+
+    # -- structure synthesis --
+
+    def _ensure_html(self, pos: int):
+        if self.html is None:
+            el = Element("html", {}, pos, pos, implied=True)
+            self._push(el)
+            self.html = el
+            self.mode = _BEFORE_HEAD
+
+    def _ensure_head(self, pos: int):
+        self._ensure_html(pos)
+        if self.head is None:
+            el = Element("head", {}, pos, pos, implied=True)
+            self._push(el)
+            self.head = el
+            self.mode = _IN_HEAD
+
+    def _close_head(self, pos: int):
+        if self.head is not None and self.stack[-1] is self.head:
+            self._pop(pos)
+        self.mode = _AFTER_HEAD
+
+    def _ensure_body(self, pos: int):
+        if self.mode < _IN_HEAD:
+            self._ensure_head(pos)
+        if self.mode == _IN_HEAD:
+            self._close_head(pos)
+        if self.body is None:
+            el = Element("body", {}, pos, pos, implied=True)
+            self._push(el)
+            self.body = el
+        self.mode = _IN_BODY
+
+    # -- token handlers --
+
+    def doctype(self, raw: str, start: int, end: int):
+        if self.mode == _BEFORE_HTML and not self.doc.doctype:
+            self.doc.doctype = raw
+        else:
+            self.parse_errors += 1
+
+    def comment(self, text: str, start: int, end: int):
+        self._append(TextNode(COMMENT, text, start, end))
+
+    def cdata(self, text: str, start: int, end: int):
+        if self.mode != _IN_BODY:
+            self._ensure_body(start)
+        self._append(TextNode(CDATA, text, start, end))
+
+    def text(self, raw: str, start: int, end: int):
+        if _is_ws(raw):
+            # whitespace before <html>, before <head> and between
+            # </head> and <body> is ignored (HTML5 modes); inside
+            # head/body it becomes a Whitespace node.
+            if self.mode in (_BEFORE_HTML, _BEFORE_HEAD, _AFTER_HEAD):
+                return
+            self._append(TextNode(WHITESPACE, _decode(raw), start, end))
+            return
+        if self.mode != _IN_BODY:
+            self._ensure_body(start)
+        self._append(TextNode(TEXT, _decode(raw), start, end))
+
+    def start_tag(self, tag: str, attrs: dict, start: int, end: int,
+                  self_closing: bool) -> Element:
+        if self.mode == _BEFORE_HTML:
+            if tag == "html":
+                el = Element("html", attrs, start, end)
+                self._push(el)
+                self.html = el
+                self.mode = _BEFORE_HEAD
+                return el
+            self._ensure_html(start)
+        if self.mode == _BEFORE_HEAD:
+            if tag == "head":
+                el = Element("head", attrs, start, end)
+                self._push(el)
+                self.head = el
+                self.mode = _IN_HEAD
+                return el
+            if tag in HEAD_ELEMENTS:
+                self._ensure_head(start)
+            else:
+                self._ensure_head(start)
+                self._close_head(start)
+        if self.mode == _IN_HEAD and tag not in HEAD_ELEMENTS:
+            self._close_head(start)
+        if self.mode == _AFTER_HEAD:
+            if tag == "body":
+                el = Element("body", attrs, start, end)
+                self._push(el)
+                self.body = el
+                self.mode = _IN_BODY
+                return el
+            if tag in HEAD_ELEMENTS and self.head is not None:
+                # late head element: parse into head (HTML5 after-head rule)
+                self.stack.append(self.head)
+                el = self._insert_element(tag, attrs, start, end, self_closing)
+                if self.stack and self.stack[-1] is self.head:
+                    self.stack.pop()
+                else:       # non-void head element still open: leave on stack
+                    self.stack.remove(self.head)
+                return el
+            self._ensure_body(start)
+        if self.mode == _IN_BODY and tag in ("html", "head", "body"):
+            self.parse_errors += 1      # duplicate structural tag: ignore
+            return self.stack[-1] if isinstance(self.stack[-1], Element) else None
+        return self._insert_element(tag, attrs, start, end, self_closing)
+
+    def _insert_element(self, tag: str, attrs: dict, start: int, end: int,
+                        self_closing: bool) -> Element:
+        # implied end tags: close stack tops that the new tag terminates
+        while True:
+            top = self.stack[-1]
+            closers = _CLOSED_BY.get(top.tag)
+            if closers is not None and tag in closers:
+                self._pop(start)
+            else:
+                break
+        el = Element(tag, attrs, start, end)
+        if tag in VOID_ELEMENTS or self_closing:
+            self._append(el)
+            el.end_tag_start = el.end = end
+        else:
+            self._push(el)
+        return el
+
+    def end_tag(self, tag: str, start: int, end: int):
+        if self.mode != _IN_BODY and tag in ("body", "html"):
+            self._ensure_body(start)
+        if tag == "head" and self.mode == _IN_HEAD:
+            self._close_head(start)
+            if self.head is not None:
+                self.head.end_tag_start = start
+                self.head.end = end
+            return
+        # find matching open element
+        for i in range(len(self.stack) - 1, 0, -1):
+            node = self.stack[i]
+            if node.tag == tag:
+                # pop everything above it (mis-nesting recovery);
+                # elements whose real end tag was already seen (body /
+                # html kept insertable after their end tag) are not
+                # errors
+                while len(self.stack) - 1 > i:
+                    if self.stack[-1].end <= self.stack[-1].start_tag_end:
+                        self.parse_errors += 1
+                    self._pop(start)
+                el = self.stack.pop()
+                el.end_tag_start = start
+                el.end = end
+                if el is self.body or el is self.html:
+                    # spec keeps body/html insertable after their end
+                    # tag (after-body whitespace lands in body); record
+                    # offsets, keep on stack.
+                    self.stack.append(el)
+                return
+        self.parse_errors += 1          # unmatched end tag: ignored
+
+    def finish(self):
+        if self.mode != _IN_BODY:
+            self._ensure_body(self.n)
+        while len(self.stack) > 1:
+            self._pop(self.n, self.n)
+        return self.doc
+
+
+def parse(html: str) -> Document:
+    """Parse an HTML document → Document tree (gumbo_range analogue,
+    reference src/gumbo_pp.cpp:24-34). Never raises on malformed input;
+    recoverable errors are counted in ``doc.parse_errors``... exposed as
+    the ``parse_errors`` attribute set on the returned Document."""
+    n = len(html)
+    tb = _TreeBuilder(n)
+    pos = 0
+    find = html.find
+    startswith = html.startswith
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            tb.text(html[pos:], pos, n)
+            break
+        if lt > pos:
+            tb.text(html[pos:lt], pos, lt)
+        c = html[lt + 1: lt + 2]
+        if c == "!":
+            if startswith("<!--", lt):
+                close = find("-->", lt + 4)
+                if close < 0:
+                    tb.comment(html[lt + 4:], lt, n)
+                    tb.parse_errors += 1
+                    pos = n
+                else:
+                    tb.comment(html[lt + 4: close], lt, close + 3)
+                    pos = close + 3
+            elif startswith("<![CDATA[", lt):
+                close = find("]]>", lt + 9)
+                if close < 0:
+                    tb.cdata(html[lt + 9:], lt, n)
+                    tb.parse_errors += 1
+                    pos = n
+                else:
+                    tb.cdata(html[lt + 9: close], lt, close + 3)
+                    pos = close + 3
+            else:
+                gt = find(">", lt)
+                if gt < 0:
+                    tb.parse_errors += 1
+                    pos = n
+                    break
+                body = html[lt + 2: gt]
+                if body[:7].lower() == "doctype":
+                    tb.doctype(body[7:].strip(), lt, gt + 1)
+                else:                   # bogus comment
+                    tb.comment(body, lt, gt + 1)
+                pos = gt + 1
+        elif c == "/":
+            m = _END_TAG_RE.match(html, lt)
+            if m:
+                tb.end_tag(m.group(1).lower(), lt, m.end())
+                pos = m.end()
+            else:
+                gt = find(">", lt)
+                if gt < 0:
+                    tb.parse_errors += 1
+                    pos = n
+                    break
+                tb.comment(html[lt + 2: gt], lt, gt + 1)   # bogus comment
+                tb.parse_errors += 1
+                pos = gt + 1
+        elif c.isalpha():
+            m = _START_TAG_RE.match(html, lt)
+            if not m:
+                # unterminated tag: rest of input is text (tokenizer
+                # EOF-in-tag error)
+                tb.parse_errors += 1
+                tb.text(html[lt:], lt, n)
+                break
+            tag = m.group(1).lower()
+            attrs = _parse_attrs(m.group(2)) if m.group(2) else {}
+            self_closing = m.group(3) == "/"
+            el = tb.start_tag(tag, attrs, lt, m.end(), self_closing)
+            pos = m.end()
+            if (el is not None and el.tag == tag and not self_closing
+                    and tag in _RAWTEXT_CLOSE and tb.stack
+                    and tb.stack[-1] is el):
+                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if cm:
+                    content_end = cm.start()
+                    gt = find(">", cm.end())
+                    tag_end = (gt + 1) if gt >= 0 else n
+                else:
+                    content_end = n
+                    tag_end = n
+                    tb.parse_errors += 1
+                raw = html[pos:content_end]
+                if raw:
+                    txt = _decode(raw) if tag in RCDATA_ELEMENTS else raw
+                    node = TextNode(WHITESPACE if _is_ws(raw) else TEXT,
+                                    txt, pos, content_end)
+                    tb._append(node)
+                tb._pop(content_end, tag_end)
+                el.end_tag_start = content_end
+                el.end = tag_end
+                pos = tag_end
+        else:
+            # bare '<' is text
+            tb.text("<", lt, lt + 1)
+            pos = lt + 1
+    doc = tb.finish()
+    doc.parse_errors = tb.parse_errors
+    return doc

@@ -1,0 +1,230 @@
+"""Tokenizer + tree builder unit tests (gumbo_pp parse semantics;
+reference src/gumbo_pp.cpp:24-34 delegates to the gumbo C library —
+this suite pins our from-scratch replacement)."""
+
+from gumbo_pp_ray.html import (
+    CDATA, COMMENT, DOCUMENT, ELEMENT, TEXT, WHITESPACE,
+    parse, walk,
+)
+
+
+def tags(doc):
+    return [n.tag for n in walk(doc) if n.kind == ELEMENT]
+
+
+def test_implied_structure_full_doc():
+    d = parse("<html><head><title>T</title></head><body><p>x</p></body></html>")
+    assert tags(d) == ["html", "head", "title", "body", "p"]
+    html = d.children[0]
+    assert not html.implied
+
+
+def test_implied_structure_fragment():
+    # gumbo synthesizes html/head/body around fragments
+    # (reference tests/src/test.cpp:79-90 relies on this)
+    d = parse('<p id="example">hi</p>')
+    assert tags(d) == ["html", "head", "body", "p"]
+    html = d.children[0]
+    assert html.implied and html.children[0].tag == "head"
+
+
+def test_bare_text_goes_to_body():
+    d = parse("just text")
+    assert tags(d) == ["html", "head", "body"]
+    body = [n for n in walk(d) if n.tag == "body"][0]
+    assert body.children[0].kind == TEXT
+    assert body.children[0].text == "just text"
+
+
+def test_leading_whitespace_dropped_before_html():
+    d = parse("\n\t<html><body>x</body></html>")
+    assert d.children[0].tag == "html"
+
+
+def test_void_elements_do_not_nest():
+    d = parse("<p>a<br>b<img src='x'>c</p>")
+    p = [n for n in walk(d) if n.tag == "p"][0]
+    kinds = [(c.kind, getattr(c, "tag", None) or c.text) for c in p.children]
+    assert kinds == [(TEXT, "a"), (ELEMENT, "br"), (TEXT, "b"),
+                     (ELEMENT, "img"), (TEXT, "c")]
+
+
+def test_self_closing_slash():
+    d = parse("<div><span/>after</div>")
+    div = [n for n in walk(d) if n.tag == "div"][0]
+    assert [c.tag for c in div.children if c.kind == ELEMENT] == ["span"]
+    span = div.children[0]
+    assert span.children == []
+
+
+def test_attributes_quoted_unquoted_valueless():
+    d = parse("<div a='1' b=\"2\" c=3 d e = 4>x</div>")
+    div = [n for n in walk(d) if n.tag == "div"][0]
+    assert div.attrs == {"a": "1", "b": "2", "c": "3", "d": "", "e": "4"}
+
+
+def test_attribute_first_occurrence_wins():
+    d = parse("<div a='1' a='2'>x</div>")
+    div = [n for n in walk(d) if n.tag == "div"][0]
+    assert div.attrs == {"a": "1"}
+
+
+def test_attribute_entity_decoding():
+    d = parse('<a href="?a=1&amp;b=2">x</a>')
+    a = [n for n in walk(d) if n.tag == "a"][0]
+    assert a.attr("href") == "?a=1&b=2"
+
+
+def test_tag_and_attr_names_lowercased():
+    d = parse("<DIV CLASS='x'>y</DIV>")
+    div = [n for n in walk(d) if n.kind == ELEMENT and n.tag == "div"][0]
+    assert div.attr("class") == "x"
+
+
+def test_text_entities_decoded():
+    d = parse("<p>x&amp;y &#65; &lt;tag&gt;</p>")
+    p = [n for n in walk(d) if n.tag == "p"][0]
+    assert p.children[0].text == "x&y A <tag>"
+
+
+def test_comment_and_kinds():
+    d = parse("<body><!-- note --><p> </p>txt</body>")
+    kinds = [n.kind for n in walk(d)]
+    assert COMMENT in kinds and WHITESPACE in kinds and TEXT in kinds
+    comment = [n for n in walk(d) if n.kind == COMMENT][0]
+    assert comment.text == " note "
+
+
+def test_cdata_node():
+    d = parse("<body><![CDATA[raw <stuff>]]></body>")
+    c = [n for n in walk(d) if n.kind == CDATA][0]
+    assert c.text == "raw <stuff>"
+
+
+def test_doctype():
+    d = parse("<!DOCTYPE html><html><body>x</body></html>")
+    assert d.doctype == "html"
+    assert d.children[0].tag == "html"
+
+
+def test_rawtext_script_style():
+    d = parse("<script>var a = '<div>no</div>';</script>")
+    s = [n for n in walk(d) if n.tag == "script"][0]
+    assert len(s.children) == 1
+    assert s.children[0].text == "var a = '<div>no</div>';"
+    assert "div" not in tags(d)[3:]
+
+
+def test_rcdata_title_decodes_entities():
+    d = parse("<title>a &amp; b</title>")
+    t = [n for n in walk(d) if n.tag == "title"][0]
+    assert t.children[0].text == "a & b"
+
+
+def test_implied_end_p():
+    d = parse("<p>a<p>b<div>c</div>")
+    ps = [n for n in walk(d) if n.tag == "p"]
+    assert len(ps) == 2
+    assert [c.text for p in ps for c in p.children] == ["a", "b"]
+
+
+def test_implied_end_li():
+    d = parse("<ul><li>one<li>two</ul>")
+    lis = [n for n in walk(d) if n.tag == "li"]
+    assert [c.text for li in lis for c in li.children] == ["one", "two"]
+
+
+def test_implied_end_table_cells():
+    d = parse("<table><tr><td>a<td>b<tr><td>c</table>")
+    trs = [n for n in walk(d) if n.tag == "tr"]
+    assert len(trs) == 2
+    tds = [n for n in walk(d) if n.tag == "td"]
+    assert [c.text for td in tds for c in td.children] == ["a", "b", "c"]
+
+
+def test_misnesting_recovery_counts_errors():
+    d = parse("<b><i>x</b></i>")
+    assert d.parse_errors >= 1
+    b = [n for n in walk(d) if n.tag == "b"][0]
+    i = [n for n in walk(d) if n.tag == "i"][0]
+    assert i.parent is b
+
+
+def test_unmatched_end_tag_ignored():
+    d = parse("<div>x</span></div>")
+    assert d.parse_errors == 1
+    assert tags(d) == ["html", "head", "body", "div"]
+
+
+def test_well_formed_doc_has_zero_errors():
+    d = parse("<html><head><title>t</title></head>"
+              "<body><p>x</p></body></html>")
+    assert d.parse_errors == 0
+
+
+def test_unterminated_comment():
+    d = parse("<body>x<!-- never closed")
+    assert d.parse_errors >= 1
+    c = [n for n in walk(d) if n.kind == COMMENT][0]
+    assert c.text == " never closed"
+
+
+def test_unterminated_tag_is_text():
+    d = parse("<body>a <b")  # EOF in tag
+    assert d.parse_errors >= 1
+
+
+def test_bare_lt_is_text():
+    d = parse("<p>1 < 2 and 3 > 2</p>")
+    p = [n for n in walk(d) if n.tag == "p"][0]
+    assert "".join(c.text for c in p.children) == "1 < 2 and 3 > 2"
+
+
+def test_empty_doc():
+    d = parse("")
+    assert d.kind == DOCUMENT
+    # implied structure still synthesized at EOF
+    assert tags(d) == ["html", "head", "body"]
+
+
+def test_offsets_reconstruct_source():
+    html = "<html><head></head><body><div class='x'>abc</div></body></html>"
+    d = parse(html)
+    div = [n for n in walk(d) if n.tag == "div"][0]
+    assert html[div.start:div.end] == "<div class='x'>abc</div>"
+    assert html[div.start_tag_end:div.end_tag_start] == "abc"
+    txt = div.children[0]
+    assert html[txt.start:txt.end] == "abc"
+
+
+def test_offsets_true_for_text_nodes():
+    # divergence from the reference's node_end_offset-returns-strlen
+    # quirk (reference gumbo_util.h:121-146): we keep true offsets
+    html = "<p>hello</p><p>world</p>"
+    d = parse(html)
+    texts = [n for n in walk(d) if n.kind == TEXT]
+    assert [(t.start, t.end) for t in texts] == [(3, 8), (15, 20)]
+
+
+def test_after_body_whitespace_lands_in_body():
+    html = "<html><body><p>x</p></body>\n"
+    d = parse(html)
+    body = [n for n in walk(d) if n.tag == "body"][0]
+    assert body.children[-1].kind == WHITESPACE
+    # body end-tag offsets recorded at the real </body>
+    assert html[body.end_tag_start:body.end] == "</body>"
+
+
+def test_head_elements_in_head_content_in_body():
+    d = parse("<meta charset='utf-8'><title>t</title><p>x</p>")
+    head = [n for n in walk(d) if n.tag == "head"][0]
+    body = [n for n in walk(d) if n.tag == "body"][0]
+    assert [c.tag for c in head.children] == ["meta", "title"]
+    assert [c.tag for c in body.children] == ["p"]
+
+
+def test_garbage_bytes_never_raise():
+    for blob in ("\x00\x01\x02", "<<<>>>", "<" * 1000, "a" * 10 + "<!",
+                 "</" + "x" * 50, "<!['cdata'"):
+        d = parse(blob)
+        assert d.kind == DOCUMENT
