@@ -1,0 +1,169 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline pipeline: interleaved-corpus extraction (wrap sf documents →
+split → actor-pool parse+extract → groupby reassembly → parquet sink).
+
+    python bench.py                 # $GRAFT_SF_DIR (default sf0.1),
+                                    # $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # same job at 8 and 32 CPUs in fresh
+                                    # processes → scaling efficiency
+
+The bench corpus is generated deterministically from the sf dir's
+documents table (amplified $GRAFT_BENCH_AMPLIFY=20x with distinct
+doc_ids, text chunked into paragraphs) and cached under /tmp — cache
+warm-up happens before timing so the timed section measures
+compute + shuffle, not the first disk read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("GRAFT_BENCH_AMPLIFY", "20"))
+
+
+def _corpus_dir() -> str:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    return f"/tmp/gumbo_bench/corpus-{tag}-x{AMPLIFY}-v1"
+
+
+def _ensure_corpus() -> str:
+    """Deterministic amplified interleaved corpus (untimed setup)."""
+    out = _corpus_dir()
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.pipelines.wrap import wrap_documents
+
+    def amplify_and_wrap(batch: pa.Table) -> pa.Table:
+        tables = []
+        for k in range(AMPLIFY):
+            b = batch.set_column(
+                0, "doc_id",
+                pa.array([i * AMPLIFY + k
+                          for i in batch.column("doc_id").to_pylist()],
+                         pa.int64()))
+            tables.append(wrap_documents(b, chunk_words=12))
+        return pa.concat_tables(tables)
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text", "lang", "source"])
+        .map_batches(amplify_and_wrap, batch_format="pyarrow",
+                     batch_size=256)
+        .repartition(64)
+        .write_parquet(tmp))
+    os.replace(tmp, out)
+    return out
+
+
+def bench_extract() -> dict:
+    import ray.data
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+
+    corpus = _ensure_corpus()
+    # warm page cache (untimed)
+    n_docs = ray.data.read_parquet(corpus).count()
+    sink = f"/tmp/gumbo_bench/out-{NUM_CPUS}"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(corpus, columns=["doc_id", "spans"])
+    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    out.write_parquet(sink)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "docs": n_docs, "docs_per_sec": n_docs / dt}
+
+
+def bench_selector() -> dict:
+    """Matcher-algebra throughput: distributed selector query."""
+    import ray.data
+    from gumbo_pp_ray.stages.selector_query import SelectorQuery
+    from gumbo_pp_ray.html import match
+
+    from gumbo_pp_ray.state.sizing import default_pool_size
+
+    t0 = time.perf_counter()
+    n = (ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text", "lang", "source"])
+         .map_batches(SelectorQuery,
+                      fn_constructor_kwargs={
+                          "selector": match.tag.P
+                          & match.content_text.contains("window")},
+                      batch_format="pyarrow", batch_size=256,
+                      concurrency=default_pool_size())
+         .count())
+    return {"sec": time.perf_counter() - t0, "rows": n}
+
+
+BENCHES = {
+    "extract": bench_extract,
+    "selector": bench_selector,
+}
+
+
+def run_all() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    results = {}
+    for name, fn in BENCHES.items():
+        results[name] = fn()
+    headline = results["extract"]
+    line = {
+        "metric": "extract_throughput",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": {k: round(v["sec"], 3) for k, v in results.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": headline["docs"],
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+    }
+    ray.shutdown()
+    return line
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_all()))

@@ -1,0 +1,170 @@
+"""The flagship pipeline: interleaved spans → extracted content spans.
+
+Topology (SURVEY.md §3.4)::
+
+    read (column-pruned)
+      → map_batches(SplitMegaDocs)            # stateless, skew defuse
+      → map_batches(ExtractSpans, actor pool) # fused assemble+parse+extract
+      → groupby(doc_id).map_groups(reassemble)  # the only shuffle
+      → write_parquet (wave-partitioned, atomic, resumable)
+
+Two execution shapes:
+
+* ``extract_dataset(ds)`` — composable Dataset → Dataset transform
+  (lazy, streaming; no Ray session management).
+* ``run_extraction(input, out)`` — checkpoint-resumable job: input
+  shards are processed in waves; each wave's output directory is
+  written to a temp name and atomically renamed, with a lineage
+  manifest (input files, counters, wall time) under ``_lineage/``.
+  A rerun skips completed waves (SURVEY.md §4.2 checkpoint/resume).
+
+Shuffle-avoidance note (100 TB thinking): when ``split_threshold`` is
+None the pipeline is PURE MAP — each input row stays a complete
+document through extraction, so no groupby is needed and nothing is
+exchanged. The shuffle path exists only to re-merge split mega-docs,
+and it shuffles extracted spans (output-sized), never raw HTML.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import ray.data
+
+from ..html.extract import ExtractProfile
+from ..sources.io import list_input_files, read_interleaved
+from ..stages.extractor import ExtractSpans
+from ..stages.reassemble import reassemble_chunks
+from ..stages.split import SplitMegaDocs
+
+
+def extract_dataset(
+    ds: "ray.data.Dataset",
+    *,
+    profile: ExtractProfile | None = None,
+    split_threshold: int | None = 256,
+    reassembly: str = "map",
+    concurrency=None,
+    batch_size: int = 96,
+) -> "ray.data.Dataset":
+    """Compose the extraction stages over an interleaved-docs Dataset.
+
+    ``reassembly`` picks the skew strategy for mega-docs:
+
+    * ``"map"`` (default) — PURE MAP topology, no shuffle: the
+      extractor actor parses an over-threshold document one
+      span-slice at a time (bounded memory) and emits the complete
+      reassembled row itself. Chunks of one doc stay on one actor —
+      right unless single documents are so large that one core
+      parsing one doc is itself the bottleneck.
+    * ``"shuffle"`` — the explicit splitter + ``groupby(doc_id)``
+      topology: chunk rows become independent tasks (cross-task
+      mega-doc parallelism) and the span sequence is re-merged by the
+      groupby shuffle, ordered (chunk_id, offset). The shuffle moves
+      extracted spans (output-sized), never raw HTML.
+    """
+    from ..state.sizing import default_pool_size
+
+    if reassembly not in ("map", "shuffle"):
+        raise ValueError(f"reassembly must be 'map' or 'shuffle': {reassembly}")
+    shuffle = reassembly == "shuffle" and split_threshold
+    if shuffle:
+        ds = ds.map_batches(SplitMegaDocs(split_threshold),
+                            batch_format="pyarrow")
+    if concurrency is None:
+        concurrency = default_pool_size()
+    ds = ds.map_batches(
+        ExtractSpans,
+        fn_constructor_kwargs={
+            "profile": profile,
+            "chunk_spans": None if shuffle else split_threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        concurrency=concurrency,
+    )
+    if shuffle:
+        ds = ds.groupby("doc_id").map_groups(
+            reassemble_chunks, batch_format="pyarrow")
+    else:
+        ds = ds.drop_columns(["chunk_id", "n_chunks"])
+    return ds
+
+
+def _wave_name(i: int) -> str:
+    return f"wave-{i:05d}"
+
+
+def run_extraction(
+    input_path: str,
+    out_dir: str,
+    *,
+    profile: ExtractProfile | None = None,
+    split_threshold: int | None = 256,
+    concurrency=None,
+    batch_size: int = 96,
+    files_per_wave: int = 32,
+    resume: bool = True,
+) -> dict:
+    """Checkpoint-resumable extraction job. Returns run summary."""
+    files = list_input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no input shards under {input_path}")
+    waves = [files[i:i + files_per_wave]
+             for i in range(0, len(files), files_per_wave)]
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+
+    summary = {"waves_total": len(waves), "waves_run": 0,
+               "waves_skipped": 0, "docs": 0, "spans": 0, "errors": 0}
+    for i, wave_files in enumerate(waves):
+        name = _wave_name(i)
+        final_dir = os.path.join(out_dir, name)
+        manifest_path = os.path.join(lineage_dir, f"{name}.json")
+        if resume and os.path.exists(manifest_path) and os.path.isdir(final_dir):
+            summary["waves_skipped"] += 1
+            with open(manifest_path) as f:
+                m = json.load(f)
+            summary["docs"] += m.get("docs", 0)
+            summary["spans"] += m.get("spans", 0)
+            summary["errors"] += m.get("errors", 0)
+            continue
+        t0 = time.perf_counter()
+        ds = read_interleaved(wave_files)
+        out = extract_dataset(ds, profile=profile,
+                              split_threshold=split_threshold,
+                              concurrency=concurrency,
+                              batch_size=batch_size)
+        tmp_dir = os.path.join(out_dir, f"_tmp-{name}")
+        if os.path.isdir(tmp_dir):          # stale partial write
+            import shutil
+            shutil.rmtree(tmp_dir)
+        out = out.materialize()
+        out.write_parquet(tmp_dir)
+        stats = out.aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("n_spans", alias_name="spans"),
+            ray.data.aggregate.Sum("n_parse_errors", alias_name="perr"),
+        )
+        n_err = out.filter(
+            expr="status == 'error'").count()
+        os.replace(tmp_dir, final_dir)      # atomic commit of the wave
+        manifest = {
+            "wave": name,
+            "input_files": wave_files,
+            "docs": stats["count()"],
+            "spans": int(stats["spans"] or 0),
+            "parse_errors": int(stats["perr"] or 0),
+            "errors": int(n_err),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(manifest_path + ".tmp", manifest_path)
+        summary["waves_run"] += 1
+        summary["docs"] += manifest["docs"]
+        summary["spans"] += manifest["spans"]
+        summary["errors"] += manifest["errors"]
+    return summary

@@ -1,0 +1,51 @@
+"""Input readers.
+
+The reference has NO sources/sinks (documents are string literals in
+its tests; retrieval is delegated — SURVEY.md §2.7). The engine reads
+the interleaved span table from Lance when the wheel is available
+(north rule's storage target), transparently falling back to Parquet
+with the identical Arrow schema (this sandbox ships no ``lance``).
+
+Column pruning is applied at the read (``columns=[...]``) — only
+``doc_id`` and ``spans`` leave storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+INPUT_COLUMNS = ["doc_id", "spans"]
+
+try:                                    # pragma: no cover - env dependent
+    import lance  # noqa: F401
+    _HAVE_LANCE = True
+except ImportError:
+    _HAVE_LANCE = False
+
+
+def list_input_files(path: str) -> list[str]:
+    """Deterministic (sorted) list of input shards — the resume unit."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith((".parquet", ".lance")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def read_interleaved(paths: str | list[str], *,
+                     columns: list[str] | None = None,
+                     override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Read the interleaved document table (Lance if available, else
+    Parquet), pruned to the needed columns."""
+    columns = columns or INPUT_COLUMNS
+    if _HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
+        return ray.data.read_lance(paths, columns=columns)  # pragma: no cover
+    kw = {}
+    if override_num_blocks:
+        kw["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet(paths, columns=columns, **kw)

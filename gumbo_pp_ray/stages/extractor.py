@@ -1,0 +1,134 @@
+"""The extraction actor — the engine's hot stage.
+
+A callable CLASS for ``map_batches(ExtractSpans, batch_format="pyarrow",
+concurrency=N, batch_size=B)``: the compiled extraction profile
+(selector strip-set + tag dispatch tables) is built ONCE per actor in
+``__init__`` (the stateful-actor-pool pattern the north rule names);
+``__call__`` runs per Arrow batch.
+
+Per-row robustness (SURVEY.md §4.2 poison documents): parse + extract
+are wrapped per row; a pathological document yields a
+``status="error"`` quarantine row with empty spans — a batch NEVER
+fails, so Ray task retries stay safe and idempotent.
+
+Fused assembly: the span→payload concatenation happens inside the
+actor, so multi-MB HTML strings never cross an object-store boundary.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..html.extract import DEFAULT_PROFILE, ExtractProfile, extract_spans
+from ..html.parser import parse
+
+SPANS_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+]))
+
+EXTRACTED_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("chunk_id", pa.int32()),
+    ("n_chunks", pa.int32()),
+    ("spans", SPANS_TYPE),
+    ("status", pa.string()),
+    ("n_parse_errors", pa.int64()),
+    ("n_spans", pa.int64()),
+    ("n_bytes_in", pa.int64()),
+])
+
+
+class ExtractSpans:
+    """parse → select → strip → emit ordered spans, per document row."""
+
+    def __init__(self, profile: ExtractProfile | None = None,
+                 max_doc_bytes: int | None = 256 * 1024 * 1024,
+                 chunk_spans: int | None = None):
+        # once per actor: compiled strip set / kind dispatch
+        self.profile = profile or DEFAULT_PROFILE
+        # single-span payloads bypass the span-count splitter; this
+        # guard quarantines pathological byte-bombs instead of OOMing
+        # the actor (status="oversize")
+        self.max_doc_bytes = max_doc_bytes
+        # in-actor mega-doc chunking (the pure-map skew path): a doc
+        # with more than chunk_spans input spans is assembled + parsed
+        # one span-slice at a time (each slice a self-contained
+        # fragment per the interleaved-table contract), bounding peak
+        # memory to one chunk's DOM instead of the whole mega-doc.
+        # Cross-TASK mega-doc parallelism needs the explicit
+        # splitter+groupby topology instead (extract_dataset
+        # reassembly="shuffle").
+        self.chunk_spans = chunk_spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        profile = self.profile
+        max_bytes = self.max_doc_bytes
+        chunk = self.chunk_spans
+        doc_ids = batch.column("doc_id").to_pylist()
+        names = batch.schema.names
+        if "chunk_id" in names:
+            chunk_ids = batch.column("chunk_id").to_pylist()
+            n_chunks = batch.column("n_chunks").to_pylist()
+        else:
+            chunk_ids = [0] * len(doc_ids)
+            n_chunks = [1] * len(doc_ids)
+
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = col.values.field("text").to_pylist()
+        offs = col.values.field("offset").to_numpy(zero_copy_only=False)
+        row_offsets = col.offsets.to_numpy(zero_copy_only=False)
+
+        out_spans, statuses, n_errs, n_spans, n_bytes = [], [], [], [], []
+        for i in range(len(doc_ids)):
+            lo, hi = int(row_offsets[i]), int(row_offsets[i + 1])
+            o = offs[lo:hi]
+            if len(o) > 1 and not (o[:-1] <= o[1:]).all():
+                import numpy as np      # rare path: enforce offset order
+                order = np.argsort(o, kind="stable")
+                seg = [texts[lo + j] for j in order]
+            else:
+                seg = texts[lo:hi]
+            total_bytes = sum(len(s) for s in seg)
+            if max_bytes is not None and total_bytes > max_bytes:
+                out_spans.append([])
+                statuses.append("oversize")
+                n_errs.append(-1)
+                n_spans.append(0)
+                n_bytes.append(total_bytes)
+                continue
+            try:
+                merged = []
+                errs = 0
+                step = chunk if (chunk and len(seg) > chunk) else len(seg) or 1
+                for j in range(0, len(seg), step):
+                    doc = parse("".join(seg[j:j + step]))
+                    errs += doc.parse_errors
+                    merged.extend(extract_spans(doc, profile))
+                out_spans.append(
+                    [{"kind": k, "text": t, "media_ref": m, "offset": x}
+                     for x, (k, t, m, _o) in enumerate(merged)])
+                statuses.append("ok")
+                n_errs.append(errs)
+                n_spans.append(len(merged))
+            except Exception:           # poison row → quarantine, never raise
+                out_spans.append([])
+                statuses.append("error")
+                n_errs.append(-1)
+                n_spans.append(0)
+            n_bytes.append(total_bytes)
+
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "chunk_id": pa.array(chunk_ids, pa.int32()),
+            "n_chunks": pa.array(n_chunks, pa.int32()),
+            "spans": pa.array(out_spans, SPANS_TYPE),
+            "status": pa.array(statuses, pa.string()),
+            "n_parse_errors": pa.array(n_errs, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_bytes_in": pa.array(n_bytes, pa.int64()),
+        })

@@ -1,0 +1,60 @@
+"""Distributed selector queries over the documents table.
+
+Each documents row is rendered into a FIXED per-row HTML template, a
+compiled selector (the reference's matcher algebra, SURVEY.md §2.3-2.4)
+is applied over the parsed DOM with ``find_all`` (Q2), and every match
+emits ``(doc_id, match_text)`` — ``match_text`` = normalized content
+text of the matched node (E1).
+
+Because the template is a pure function of the row's columns, each
+selector query has an exact ANSI-SQL oracle over the original table
+(see ``__ray_entry__.oracle_sql``): the correctness gate for matcher
+semantics at distributed scale.
+
+Template (per row)::
+
+  <html><head><title>t</title></head><body>
+  <div id="doc-{id}" class="{lang}" data-source="{source}"><p>{text}</p></div>
+  <span id="lang-{id}" lang="{lang}-std">{lang}</span>
+  </body></html>
+
+The stage is a callable class: the selector is compiled/deserialized
+ONCE per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..html.parser import parse
+from ..html.text import content_text
+from ..html.walk import find_all, walk
+
+
+def selector_doc_html(doc_id, text, lang, source) -> str:
+    return (f"<html><head><title>t</title></head><body>"
+            f"<div id=\"doc-{doc_id}\" class=\"{lang}\" "
+            f"data-source=\"{source}\"><p>{text}</p></div>"
+            f"<span id=\"lang-{doc_id}\" lang=\"{lang}-std\">{lang}</span>"
+            f"</body></html>")
+
+
+class SelectorQuery:
+    def __init__(self, selector):
+        self.selector = selector        # picklable Selector AST
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sel = self.selector
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        out_ids, out_texts = [], []
+        for i, t, lg, src in zip(ids, texts, langs, sources):
+            doc = parse(selector_doc_html(i, t, lg, src))
+            for node in find_all(walk(doc), sel):
+                out_ids.append(str(i))
+                out_texts.append(content_text(node, normalize_ws=True,
+                                              include_comments=False))
+        return pa.table({"doc_id": pa.array(out_ids, pa.string()),
+                         "match_text": pa.array(out_texts, pa.string())})

@@ -1,0 +1,167 @@
+"""End-to-end Ray Data pipeline tests: span-sequence equality vs the
+single-process kernel, mega-doc split/reassembly, quarantine,
+checkpoint/resume."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from gumbo_pp_ray.html import parse, extract_spans
+from gumbo_pp_ray.pipelines.corpus import CorpusSpec, gen_corpus, write_corpus
+from gumbo_pp_ray.stages.assemble import assemble_payloads, assemble_html
+from gumbo_pp_ray.stages.split import SplitMegaDocs
+from gumbo_pp_ray.stages.extractor import ExtractSpans
+
+
+def kernel_reference(table: pa.Table) -> dict:
+    """Single-process ground truth: per doc, assemble + parse + extract
+    with the local kernel (what span-sequence equality is measured
+    against)."""
+    out = {}
+    for doc_id, html in zip(table.column("doc_id").to_pylist(),
+                            assemble_payloads(table)):
+        out[doc_id] = extract_spans(parse(html))
+    return out
+
+
+# ---------- local (no-Ray) stage units ----------
+
+def test_assemble_joins_in_offset_order():
+    t = pa.table({
+        "doc_id": ["a"],
+        "spans": [[
+            {"kind": "text", "text": "<p>B</p>", "media_ref": "", "offset": 1},
+            {"kind": "text", "text": "<p>A</p>", "media_ref": "", "offset": 0},
+        ]],
+    })
+    assert assemble_payloads(t) == ["<p>A</p><p>B</p>"]
+    out = assemble_html(t)
+    assert out.column("html").to_pylist() == ["<p>A</p><p>B</p>"]
+
+
+def test_split_fast_path_adds_constant_columns():
+    t = gen_corpus(CorpusSpec(num_docs=10, mega_every=0))
+    out = SplitMegaDocs(10_000)(t)
+    assert out.num_rows == t.num_rows
+    assert set(out.column("n_chunks").to_pylist()) == {1}
+
+
+def test_split_chunks_mega_docs():
+    t = gen_corpus(CorpusSpec(num_docs=5, mega_every=2, mega_spans=300))
+    out = SplitMegaDocs(64)(t)
+    assert out.num_rows > t.num_rows
+    by_doc = {}
+    for r in out.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        n = rows[0]["n_chunks"]
+        assert len(rows) == n
+        assert sorted(r["chunk_id"] for r in rows) == list(range(n))
+        assert all(len(r["spans"]) <= 64 for r in rows)
+
+
+def test_extractor_quarantines_oversize():
+    t = pa.table({
+        "doc_id": ["big", "ok"],
+        "spans": [
+            [{"kind": "text", "text": "<p>" + "x" * 100 + "</p>",
+              "media_ref": "", "offset": 0}],
+            [{"kind": "text", "text": "<p>fine</p>", "media_ref": "",
+              "offset": 0}],
+        ],
+    })
+    out = ExtractSpans(max_doc_bytes=50)(t)
+    rows = out.to_pylist()
+    assert rows[0]["status"] == "oversize" and rows[0]["spans"] == []
+    assert rows[1]["status"] == "ok"
+    assert rows[1]["spans"][0]["text"] == "fine"
+
+
+def test_extractor_batch_never_raises_on_garbage():
+    t = pa.table({
+        "doc_id": ["g1", "g2"],
+        "spans": [
+            [{"kind": "text", "text": "\x00<<<!%", "media_ref": "", "offset": 0}],
+            [{"kind": "text", "text": "", "media_ref": "", "offset": 0}],
+        ],
+    })
+    out = ExtractSpans()(t)
+    assert out.column("status").to_pylist() == ["ok", "ok"]
+
+
+# ---------- Ray e2e ----------
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return gen_corpus(CorpusSpec(num_docs=80, mega_every=25, mega_spans=400))
+
+
+@pytest.mark.parametrize("reassembly", ["map", "shuffle"])
+def test_e2e_span_sequence_equality(ray_session, corpus_table, reassembly):
+    import ray.data
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+
+    expected = kernel_reference(corpus_table)
+    ds = ray.data.from_arrow(corpus_table)
+    out = extract_dataset(ds, split_threshold=64, reassembly=reassembly,
+                          concurrency=2, batch_size=16)
+    rows = out.take_all()
+    assert len(rows) == corpus_table.num_rows
+    for r in rows:
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in r["spans"]]
+        assert got == expected[r["doc_id"]], r["doc_id"]
+        assert r["status"] == "ok"
+
+
+def test_e2e_no_split_pure_map_path(ray_session, corpus_table):
+    import ray.data
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+
+    expected = kernel_reference(corpus_table)
+    ds = ray.data.from_arrow(corpus_table)
+    out = extract_dataset(ds, split_threshold=None, concurrency=2,
+                          batch_size=16)
+    for r in out.take_all():
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in r["spans"]]
+        assert got == expected[r["doc_id"]]
+
+
+def test_run_extraction_resume(ray_session, tmp_path):
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    inp = str(tmp_path / "corpus")
+    out1 = str(tmp_path / "out")
+    write_corpus(inp, CorpusSpec(num_docs=40, mega_every=0), files=4)
+
+    s1 = run_extraction(inp, out1, files_per_wave=1, concurrency=2,
+                        batch_size=16)
+    assert s1["waves_total"] == 4 and s1["waves_run"] == 4
+    assert s1["docs"] == 40 and s1["errors"] == 0
+
+    # simulate a crash that lost the last wave
+    shutil.rmtree(os.path.join(out1, "wave-00003"))
+    os.remove(os.path.join(out1, "_lineage", "wave-00003.json"))
+
+    s2 = run_extraction(inp, out1, files_per_wave=1, concurrency=2,
+                        batch_size=16)
+    assert s2["waves_skipped"] == 3 and s2["waves_run"] == 1
+    assert s2["docs"] == 40
+
+    # every wave has a manifest with counters
+    for i in range(4):
+        with open(os.path.join(out1, "_lineage", f"wave-{i:05d}.json")) as f:
+            m = json.load(f)
+        assert m["docs"] == 10 and m["spans"] > 0
+
+    # output readable and complete, byte-identical doc set
+    import ray.data
+    from gumbo_pp_ray.sources.io import list_input_files
+    files = [f for f in list_input_files(out1) if "_lineage" not in f]
+    ds = ray.data.read_parquet(files)
+    assert sorted(r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all()) \
+        == [f"doc-{i:06d}" for i in range(40)]
