@@ -66,12 +66,12 @@ def _sel(selector_builder):
     per-row template; see stages/selector_query.py."""
     def run(sf_dir: str):
         from gumbo_pp_ray.stages.selector_query import SelectorQuery
-        from gumbo_pp_ray.state.sizing import default_pool_size
+        from gumbo_pp_ray.state.sizing import default_concurrency
         return _docs(sf_dir).map_batches(
             SelectorQuery,
             fn_constructor_kwargs={"selector": selector_builder()},
             batch_format="pyarrow", batch_size=256,
-            concurrency=default_pool_size())
+            concurrency=default_concurrency())
     return run
 
 
@@ -123,8 +123,133 @@ def _sel_id_prefix():
     return match.attribute.value.starts_with("id", "doc-1")
 
 
+# --------------------------- training-data operators (dedup/analysis)
+
+def _q_token_stats(sf_dir: str):
+    from gumbo_pp_ray.stages.text_analysis import token_stats
+    return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow")
+
+
+def _q_quality_score(sf_dir: str):
+    from gumbo_pp_ray.stages.text_analysis import QualityScore
+    from gumbo_pp_ray.state.sizing import default_concurrency
+    return _docs(sf_dir).map_batches(
+        QualityScore, batch_format="pyarrow",
+        concurrency=default_concurrency())
+
+
+def _q_dedup_exact(sf_dir: str):
+    from gumbo_pp_ray.stages.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_exact_norm(sf_dir: str):
+    from gumbo_pp_ray.stages.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir), normalize=True)
+
+
+def _query_tokens(sf_dir: str) -> frozenset:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", 0)])
+    return frozenset(t.column("text")[0].as_py().split())
+
+
+def _q_word_jaccard(sf_dir: str):
+    import functools
+    from gumbo_pp_ray.stages.text_analysis import word_jaccard_vs_query
+    q = _query_tokens(sf_dir)
+    return _docs(sf_dir).map_batches(
+        functools.partial(word_jaccard_vs_query, query_tokens=q),
+        batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    from gumbo_pp_ray.stages.text_analysis import LangId
+    from gumbo_pp_ray.state.sizing import default_concurrency
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=default_concurrency())
+
+
+def _q_fingerprints(sf_dir: str):
+    from gumbo_pp_ray.stages.text_analysis import Fingerprint
+    from gumbo_pp_ray.state.sizing import default_concurrency
+    ds = _docs(sf_dir).map_batches(
+        Fingerprint, batch_format="pyarrow",
+        concurrency=default_concurrency())
+    return ds.select_columns(["doc_id", "n_fingerprints"])
+
+
+def _q_simhash(sf_dir: str):
+    from gumbo_pp_ray.stages.dedup import SimHash
+    from gumbo_pp_ray.state.sizing import default_concurrency
+    return _docs(sf_dir).map_batches(
+        SimHash, batch_format="pyarrow", concurrency=default_concurrency())
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _read_query_embeddings(sf_dir: str, n: int = 10) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)])
+    ids = t.column("vec_id").to_pylist()
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    return {"ids": ids, "matrix": mat}
+
+
+def _emb(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+
+def _q_ann_topk(sf_dir: str):
+    from gumbo_pp_ray.stages.similarity import ann_topk
+    return ann_topk(_emb(sf_dir), _read_query_embeddings(sf_dir), k=10)
+
+
+def _q_ann_topk_lsh(sf_dir: str):
+    from gumbo_pp_ray.stages.similarity import ann_topk_lsh
+    q = _read_query_embeddings(sf_dir)
+    dim = q["matrix"].shape[1]
+    return ann_topk_lsh(_emb(sf_dir), q, dim=dim, k=10, n_planes=10,
+                        n_flip=2)
+
+
+def _q_media_refs(sf_dir: str):
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+    from gumbo_pp_ray.pipelines.wrap import wrap_documents
+    from gumbo_pp_ray.stages.media import collect_media_refs
+    ds = _docs(sf_dir).map_batches(wrap_documents, batch_format="pyarrow")
+    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    return (out.select_columns(["doc_id", "spans"])
+               .map_batches(collect_media_refs, batch_format="pyarrow"))
+
+
+def _q_media_decode(sf_dir: str):
+    from gumbo_pp_ray.stages.media import DecodeMedia, synth_payloads
+    from gumbo_pp_ray.state.sizing import default_concurrency
+    ds = _q_media_refs(sf_dir).map_batches(synth_payloads,
+                                           batch_format="pyarrow")
+    out = ds.map_batches(DecodeMedia,
+                         fn_constructor_kwargs={"decoder": "fake"},
+                         batch_format="pyarrow", batch_size=32,
+                         concurrency=default_concurrency())
+    return out.select_columns(["doc_id", "media_ref", "media_type",
+                               "width", "height", "n_frames"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # flagship + selector surface (SURVEY.md §2)
         "extract_flagship": _q_extract_flagship,
         "sel_class_exact": _sel(_sel_class_exact),
         "sel_attr_starts_with": _sel(_sel_attr_starts_with),
@@ -135,6 +260,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sel_and_not": _sel(_sel_and_not),
         "sel_content_contains": _sel(_sel_content_contains),
         "sel_id_prefix": _sel(_sel_id_prefix),
+        # training-data operators
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_norm": _q_dedup_exact_norm,
+        "word_jaccard": _q_word_jaccard,
+        "lang_id": _q_lang_id,                  # rows-only (heuristic)
+        "fingerprints": _q_fingerprints,        # rows-only (winnowing)
+        "simhash": _q_simhash,                  # rows-only (bit sketch)
+        "minhash_pairs": _q_minhash_pairs,      # rows-only (probabilistic)
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,        # rows-only (approximate)
+        "media_refs": _q_media_refs,
+        "media_decode": _q_media_decode,        # rows-only (stub decode)
     }
 
 
@@ -189,5 +328,103 @@ def oracle_sql() -> dict[str, str]:
         "sel_id_prefix": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS match_text
             FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '1%'
+        """,
+        "token_stats": r"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents)
+            SELECT doc_id, n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT)
+                     AS n_uniq_tokens,
+                   CAST(CASE WHEN len(toks) = 0 THEN 0
+                        ELSE 1000 * len(list_distinct(toks)) // len(toks)
+                        END AS BIGINT) AS uniq_ratio_milli
+            FROM t
+        """,
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_alpha
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                   CAST(n_alpha AS BIGINT) AS n_alpha,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(400 * LEAST(len(toks), 200) // 200
+                        + 300 * len(list_distinct(toks))
+                          // GREATEST(len(toks), 1)
+                        + 300 * n_alpha // GREATEST(n_chars, 1)
+                        AS BIGINT) AS quality_milli
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_exact_norm": r"""
+            SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+                     AS content_hash,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_dups
+            FROM documents
+            GROUP BY md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        """,
+        "word_jaccard": r"""
+            WITH q AS (
+              SELECT list_distinct(regexp_split_to_array(trim(text), '\s+'))
+                       AS qt
+              FROM documents WHERE doc_id = 0),
+            d AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+'))
+                       AS dt
+              FROM documents)
+            SELECT d.doc_id,
+                   CAST(len(list_intersect(d.dt, q.qt)) AS BIGINT)
+                     AS n_inter,
+                   CAST(len(d.dt) + len(q.qt)
+                        - len(list_intersect(d.dt, q.qt)) AS BIGINT)
+                     AS n_union,
+                   CAST(1000 * len(list_intersect(d.dt, q.qt))
+                        // (len(d.dt) + len(q.qt)
+                            - len(list_intersect(d.dt, q.qt)))
+                        AS BIGINT) AS jaccard_milli
+            FROM d, q
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 10),
+            s AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                       q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM q, embeddings e WHERE e.vec_id <> q.qid)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 10
+        """,
+        "media_refs": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'img://doc/' || CAST(doc_id AS VARCHAR) || '.jpg'
+                     AS media_ref,
+                   'image' AS media_type
+            FROM documents
         """,
     }

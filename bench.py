@@ -91,7 +91,7 @@ def bench_selector() -> dict:
     from gumbo_pp_ray.stages.selector_query import SelectorQuery
     from gumbo_pp_ray.html import match
 
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
 
     t0 = time.perf_counter()
     n = (ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
@@ -101,7 +101,7 @@ def bench_selector() -> dict:
                           "selector": match.tag.P
                           & match.content_text.contains("window")},
                       batch_format="pyarrow", batch_size=256,
-                      concurrency=default_pool_size())
+                      concurrency=default_concurrency())
          .count())
     return {"sec": time.perf_counter() - t0, "rows": n}
 

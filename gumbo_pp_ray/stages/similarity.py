@@ -1,0 +1,209 @@
+"""Similarity search over an embedding column (list<float>).
+
+* **Brute-force cosine top-k** (the exactness baseline): the query
+  matrix is broadcast ONCE (``ray.put``) and read once per actor in
+  ``__init__`` — never re-shipped per batch. Each batch does one
+  float64 matmul (Q x d) @ (d x B) and emits per-(query, batch) top-k
+  candidate rows; a tiny ``groupby(query_id)`` reduce keeps the global
+  top-k. The shuffle moves at most Q x k x num_batches candidate rows
+  — never embeddings.
+* **LSH-bucketed ANN** (the scale path): random-hyperplane sign
+  buckets (seeded); corpus rows are compared only within the query's
+  bucket (multi-probe over single-bit flips to recover recall).
+  Recall/probe trade-off is measured in tests against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.broadcast import Broadcast
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64, copy=False)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1)
+
+
+class BruteForceTopK:
+    """Per-batch top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        q = Broadcast.get(queries_ref)          # once per actor
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.q = _normalize(np.asarray(q["matrix"]))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(batch))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = self.q @ vecs.T                  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            cand = top[qi]
+            out_q.extend([int(self.query_ids[qi])] * len(cand))
+            out_n.extend(int(ids[c]) for c in cand)
+            out_s.extend(float(sims[qi, c]) for c in cand)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def _topk_reduce_factory(k: int, exclude_self: bool):
+    def reduce_group(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        cos = group.column("cosine").to_numpy(zero_copy_only=False)
+        if exclude_self:
+            keep = nid != qid
+            nid, cos = nid[keep], cos[keep]
+        # deterministic under cosine ties: sort by (-cosine, neighbor)
+        order = np.lexsort((nid, -cos))[:k]
+        n = len(order)
+        return pa.table({
+            "query_id": pa.array([qid] * n, pa.int64()),
+            "neighbor_id": pa.array(nid[order], pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        })
+    return reduce_group
+
+
+def ann_topk(ds, queries: dict, *, k: int = 10, exclude_self: bool = True,
+             concurrency=None):
+    """Brute-force exact top-k: Dataset(vec_id, embedding) + broadcast
+    queries {"ids": [...], "matrix": ndarray} → (query_id,
+    neighbor_id, rank)."""
+    import ray
+    from ..state.sizing import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+    ref = ray.put(queries)
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k + exclude_self},
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce_factory(k, exclude_self), batch_format="pyarrow")
+
+
+# ------------------------------------------------------- LSH scale path
+
+class HyperplaneLsh:
+    """Seeded random-hyperplane signer: embedding → integer bucket id
+    (sign bits of n_planes projections)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.n_planes = n_planes
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        signs = (self.planes @ m.T) > 0          # (P, N)
+        weights = (1 << np.arange(self.n_planes))[:, None]
+        return (signs * weights).sum(axis=0).astype(np.int64)
+
+    def probes(self, vec: np.ndarray, n_flip: int = 1) -> list[int]:
+        """Multi-probe: the bucket plus all buckets within ``n_flip``
+        sign-bit flips — recovers recall lost at hyperplane borders
+        (probe count grows as C(planes, n_flip); keep n_flip ≤ 2)."""
+        base = int(self.bucket_of(vec.reshape(1, -1))[0])
+        out = [base]
+        if n_flip >= 1:
+            out += [base ^ (1 << i) for i in range(self.n_planes)]
+        if n_flip >= 2:
+            out += [base ^ (1 << i) ^ (1 << j)
+                    for i in range(self.n_planes)
+                    for j in range(i + 1, self.n_planes)]
+        return out
+
+
+def lsh_bucket_stage(batch: pa.Table, *, dim: int, n_planes: int = 12,
+                     seed: int = 42) -> pa.Table:
+    """Stateless function stage (plane matrix is cheap to rebuild per
+    task; avoids a second fixed actor pool — see state/sizing.py)."""
+    lsh = HyperplaneLsh(dim, n_planes, seed)
+    m = _normalize(_batch_matrix(batch))
+    buckets = lsh.bucket_of(m)
+    return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+
+def ann_topk_lsh(ds, queries: dict, *, dim: int, k: int = 10,
+                 n_planes: int = 12, seed: int = 42, n_flip: int = 1,
+                 exclude_self: bool = True, concurrency=None):
+    """Approximate top-k: corpus rows hashed to hyperplane buckets;
+    each batch only scores queries probing one of its buckets. Same
+    output schema as ann_topk (recall < 1; measured in tests)."""
+    import ray
+    from ..state.sizing import default_concurrency
+    if concurrency is None:
+        concurrency = default_concurrency()
+
+    lsh = HyperplaneLsh(dim, n_planes, seed)
+    qm = _normalize(np.asarray(queries["matrix"]))
+    probe_map = {}                       # bucket -> [query rows]
+    for qi, vec in enumerate(qm):
+        for b in lsh.probes(vec, n_flip=n_flip):
+            probe_map.setdefault(b, []).append(qi)
+    payload = {"ids": np.asarray(queries["ids"], dtype=np.int64),
+               "matrix": qm, "probe_map": probe_map}
+    ref = ray.put(payload)
+
+    class BucketScore:
+        def __init__(self, queries_ref, k):
+            q = Broadcast.get(queries_ref)
+            self.query_ids = q["ids"]
+            self.q = q["matrix"]
+            self.probe_map = q["probe_map"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            out_q, out_n, out_s = [], [], []
+            for b in np.unique(buckets):
+                qrows = self.probe_map.get(int(b))
+                if not qrows:
+                    continue
+                mask = buckets == b
+                sub, sub_ids = m[mask], ids[mask]
+                sims = self.q[qrows] @ sub.T
+                kk = min(self.k, sims.shape[1])
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                for r, qi in enumerate(qrows):
+                    for c in top[r]:
+                        out_q.append(int(self.query_ids[qi]))
+                        out_n.append(int(sub_ids[c]))
+                        out_s.append(float(sims[r, c]))
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            })
+
+    import functools
+    bucketed = ds.map_batches(
+        functools.partial(lsh_bucket_stage, dim=dim, n_planes=n_planes,
+                          seed=seed),
+        batch_format="pyarrow", batch_size=4096)
+    cand = bucketed.map_batches(
+        BucketScore,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k + exclude_self},
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce_factory(k, exclude_self), batch_format="pyarrow")

@@ -1,0 +1,189 @@
+"""Text-analysis operators over a documents table.
+
+Large-scale training-data pipeline primitives (driver brief): token
+counting, quality scoring, language-ID, document fingerprinting. All
+are ``map_batches`` transforms over Arrow batches; integer outputs are
+used for oracle-checked columns (float hashing across engines is not
+deterministic — integer ratios in "milli" units are).
+
+Scale notes: every transform here is embarrassingly parallel (no
+shuffle); string kernels run on Python lists built once per batch
+(pandas ``str`` falls back to Python-per-row anyway for these ops);
+stateful pieces (stopword profiles, compiled regexes) live in actor
+``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """Whitespace token counts (oracle-checkable).
+
+    Columns: n_chars, n_tokens, n_uniq_tokens,
+    uniq_ratio_milli = 1000 * n_uniq // n_tokens (integer math).
+    """
+    texts = batch.column("text").to_pylist()
+    n_chars, n_tokens, n_uniq, ratio = [], [], [], []
+    for t in texts:
+        toks = t.split()
+        nt = len(toks)
+        nu = len(set(toks))
+        n_chars.append(len(t))
+        n_tokens.append(nt)
+        n_uniq.append(nu)
+        ratio.append(1000 * nu // nt if nt else 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+        "uniq_ratio_milli": pa.array(ratio, pa.int64()),
+    })
+
+
+class QualityScore:
+    """Heuristic quality components + a composite score.
+
+    Integer components are exactly reproducible in SQL; the composite
+    ``quality_milli`` uses only integer arithmetic so it is too:
+
+        quality_milli = (400 * min(n_tokens, 200) // 200
+                         + 300 * n_uniq // max(n_tokens, 1)
+                         + 300 * n_alpha // max(n_chars, 1))
+    """
+
+    def __init__(self):
+        self.alpha = re.compile(r"[A-Za-z]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = {"n_tokens": [], "n_uniq": [], "n_alpha": [], "n_chars": [],
+               "quality_milli": []}
+        findall = self.alpha.findall
+        for t in texts:
+            toks = t.split()
+            nt, nu = len(toks), len(set(toks))
+            nc = len(t)
+            na = len(findall(t))
+            q = (400 * min(nt, 200) // 200
+                 + 300 * nu // max(nt, 1)
+                 + 300 * na // max(nc, 1))
+            out["n_tokens"].append(nt)
+            out["n_uniq"].append(nu)
+            out["n_alpha"].append(na)
+            out["n_chars"].append(nc)
+            out["quality_milli"].append(q)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            **{k: pa.array(v, pa.int64()) for k, v in out.items()},
+        })
+
+
+# tiny per-language stopword profiles (public common function words)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "was"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "en"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "ist", "nicht", "zu"},
+    "zh": {"的", "了", "是", "在", "我", "有", "和", "不", "人", "这"},
+}
+
+
+class LangId:
+    """n-gram/stopword-heuristic language ID (non-SQL-expressible →
+    rows-only driver check). Profiles compiled once per actor."""
+
+    def __init__(self, profiles=None):
+        self.profiles = {k: frozenset(v)
+                         for k, v in (profiles or _LANG_PROFILES).items()}
+
+    def predict(self, text: str) -> str:
+        toks = text.lower().split()
+        if not toks:
+            return "und"
+        # char heuristic first: CJK presence
+        if any("一" <= c <= "鿿" for c in text[:200]):
+            return "zh"
+        best, best_hits = "und", 0
+        for lang, prof in self.profiles.items():
+            hits = sum(1 for t in toks if t in prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+
+
+class Fingerprint:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    local fingerprinting scheme, public SIGMOD'03 algorithm): rolling
+    CRC32 over character k-grams, minimum per sliding window, distinct
+    minima kept. Deterministic across processes (no PYTHONHASHSEED
+    dependence). Output: one row per doc with the fingerprint list and
+    its count."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k = k
+        self.window = window
+
+    def fingerprints(self, text: str) -> list[int]:
+        k, w = self.k, self.window
+        data = text.encode("utf-8", "ignore")
+        n = len(data)
+        if n < k:
+            return [zlib.crc32(data)] if n else []
+        hs = [zlib.crc32(data[i:i + k]) for i in range(n - k + 1)]
+        arr = np.asarray(hs, dtype=np.uint32)
+        if len(arr) <= w:
+            return [int(arr.min())]
+        view = np.lib.stride_tricks.sliding_window_view(arr, w)
+        mins = view.min(axis=1)
+        out, last = [], None
+        for m in mins:
+            if m != last:
+                out.append(int(m))
+                last = m
+        return sorted(set(out))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprints(t)
+               for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+        })
+
+
+def word_jaccard_vs_query(batch: pa.Table, *, query_tokens: frozenset
+                          ) -> pa.Table:
+    """Distinct-word Jaccard similarity of every document against a
+    fixed query token set — integer outputs, exactly SQL-reproducible
+    (list_distinct + list_intersect in DuckDB)."""
+    texts = batch.column("text").to_pylist()
+    n_inter, n_union, milli = [], [], []
+    for t in texts:
+        s = set(t.split())
+        i = len(s & query_tokens)
+        u = len(s | query_tokens)
+        n_inter.append(i)
+        n_union.append(u)
+        milli.append(1000 * i // u if u else 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_inter": pa.array(n_inter, pa.int64()),
+        "n_union": pa.array(n_union, pa.int64()),
+        "jaccard_milli": pa.array(milli, pa.int64()),
+    })

@@ -1,0 +1,138 @@
+"""Dedup operator tests: exact, MinHash signatures + LSH pipeline,
+SimHash, n-gram Jaccard verification."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gumbo_pp_ray.stages.dedup import (
+    MinHasher, SimHash, add_content_hash, hamming64, ngram_jaccard,
+)
+
+
+def tbl(*texts):
+    return pa.table({"doc_id": list(range(len(texts))),
+                     "text": list(texts)})
+
+
+def test_content_hash_matches_md5():
+    out = add_content_hash(tbl("hello", "hello", "world"))
+    hs = out.column("content_hash").to_pylist()
+    assert hs[0] == hs[1] == hashlib.md5(b"hello").hexdigest()
+    assert hs[2] != hs[0]
+
+
+def test_content_hash_normalized():
+    out = add_content_hash(tbl("Hello   World", "hello world"),
+                           normalize=True)
+    hs = out.column("content_hash").to_pylist()
+    assert hs[0] == hs[1]
+
+
+def test_minhash_jaccard_estimate():
+    mh = MinHasher(num_perm=256)
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 2)
+    far = "completely different words entirely unrelated content here " * 10
+    s1, s2, s3 = (mh.signature(t) for t in (base, near, far))
+    est_near = (s1 == s2).mean()
+    est_far = (s1 == s3).mean()
+    assert est_near > 0.5
+    assert est_far < 0.1
+    # deterministic across instances (seeded)
+    assert (MinHasher(num_perm=256).signature(base) == s1).all()
+
+
+def test_minhash_estimate_tracks_true_jaccard():
+    mh = MinHasher(num_perm=256, shingle_words=3)
+    a = " ".join(f"w{i}" for i in range(200))
+    b = " ".join(f"w{i}" for i in range(100)) + " " + \
+        " ".join(f"x{i}" for i in range(100))
+    true_j = ngram_jaccard(a, b, 3)
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    assert abs(est - true_j) < 0.12     # 256 perms → stderr ~0.03
+
+
+def test_simhash_near_and_far():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("dog", "cat")
+    far = "totally different text with other tokens " * 5
+    h1 = SimHash.simhash64(base)
+    h2 = SimHash.simhash64(near)
+    h3 = SimHash.simhash64(far)
+    assert hamming64(h1, h2) < 12
+    assert hamming64(h1, h3) > 20
+    assert SimHash.simhash64("") == 0
+    out = SimHash()(tbl(base))
+    assert isinstance(out.column("simhash").to_pylist()[0], int)
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert ngram_jaccard("", "") == 1.0
+    j = ngram_jaccard("a b c d e", "a b c d x")
+    assert 0 < j < 1
+
+
+# ------------------------------- Ray pipelines -------------------------------
+
+@pytest.fixture()
+def dup_corpus():
+    """60 distinct docs + 3 planted near-dup clusters."""
+    rng = np.random.RandomState(7)
+    words = [f"tok{i}" for i in range(500)]
+    texts, ids = [], []
+    n = 0
+    for _ in range(60):
+        texts.append(" ".join(rng.choice(words, 80)))
+        ids.append(n)
+        n += 1
+    planted = []
+    for c in range(3):
+        base = " ".join(rng.choice(words, 80))
+        texts.append(base)
+        ids.append(n)
+        a = n
+        n += 1
+        toks = base.split()
+        toks[5] = "CHANGED"
+        texts.append(" ".join(toks))
+        ids.append(n)
+        planted.append((a, n))
+        n += 1
+    return pa.table({"doc_id": ids, "text": texts}), planted
+
+
+def test_exact_dedup_pipeline(ray_session):
+    import ray.data
+    from gumbo_pp_ray.stages.dedup import exact_dedup
+
+    t = tbl("aaa", "bbb", "aaa", "ccc", "bbb", "aaa")
+    out = exact_dedup(ray.data.from_arrow(t)).take_all()
+    by_hash = {r["content_hash"]: r for r in out}
+    assert len(by_hash) == 3
+    counts = sorted(r["n_dups"] for r in out)
+    assert counts == [1, 2, 3]
+    # winner is min doc_id
+    aaa = hashlib.md5(b"aaa").hexdigest()
+    assert by_hash[aaa]["doc_id"] == 0
+
+
+def test_minhash_lsh_finds_planted_pairs(ray_session, dup_corpus):
+    import ray.data
+    from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
+
+    table, planted = dup_corpus
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(table),
+                              threshold=0.5, concurrency=2).take_all()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for a, b in planted:
+        assert (a, b) in found, f"planted pair {(a, b)} missed"
+    # no false positives among random docs (threshold 0.5)
+    for a, b in found:
+        assert ngram_jaccard(
+            table.column("text")[a].as_py(),
+            table.column("text")[b].as_py()) > 0.3

@@ -1,0 +1,91 @@
+"""Multimodal plumbing tests: media-ref collection from extracted
+spans, payload synth, stubbed decode, resize layout."""
+
+import pyarrow as pa
+import pytest
+
+from gumbo_pp_ray.stages.media import (
+    DecodeMedia, ResizeStub, collect_media_refs, media_type_of,
+    synth_payloads,
+)
+
+SPANS_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32()),
+]))
+
+
+def spans_tbl():
+    return pa.table({
+        "doc_id": pa.array(["d1", "d2"], pa.string()),
+        "spans": pa.array([
+            [{"kind": "text", "text": "x", "media_ref": "", "offset": 0},
+             {"kind": "media", "text": "", "media_ref": "img://a/1.jpg",
+              "offset": 1},
+             {"kind": "media", "text": "", "media_ref": "vid://a/2.mp4",
+              "offset": 2}],
+            [{"kind": "text", "text": "y", "media_ref": "", "offset": 0}],
+        ], SPANS_TYPE),
+    })
+
+
+def test_media_type_of():
+    assert media_type_of("img://x/y.jpg") == "image"
+    assert media_type_of("vid://x.mp4") == "video"
+    assert media_type_of("aud://x.wav") == "audio"
+    assert media_type_of("https://x") == "unknown"
+    assert media_type_of("") == "unknown"
+
+
+def test_collect_media_refs():
+    out = collect_media_refs(spans_tbl())
+    assert out.to_pylist() == [
+        {"doc_id": "d1", "media_ref": "img://a/1.jpg",
+         "media_type": "image"},
+        {"doc_id": "d1", "media_ref": "vid://a/2.mp4",
+         "media_type": "video"},
+    ]
+
+
+def test_decode_fake_deterministic():
+    t = synth_payloads(collect_media_refs(spans_tbl()))
+    dec = DecodeMedia(decoder="fake", feat_dim=8)
+    a = dec(t).to_pylist()
+    b = dec(t).to_pylist()
+    assert a == b
+    assert a[0]["width"] >= 64 and a[0]["n_frames"] == 1     # image
+    assert a[1]["n_frames"] >= 1                             # video
+    assert len(a[0]["features"]) == 8
+    assert all(0.0 <= f <= 1.0 for f in a[0]["features"])
+
+
+def test_decode_real_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(decoder="real")
+    with pytest.raises(ValueError):
+        DecodeMedia(decoder="nope")
+
+
+def test_resize_stub_layout():
+    t = DecodeMedia(decoder="fake")(
+        synth_payloads(collect_media_refs(spans_tbl())))
+    out = ResizeStub(target=(224, 224), max_frames=4)(t)
+    rows = out.to_pylist()
+    assert rows[0]["out_width"] == 224
+    assert all(r["out_frames"] <= 4 for r in rows)
+
+
+def test_media_pipeline_over_ray(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(spans_tbl())
+    out = (ds.map_batches(collect_media_refs, batch_format="pyarrow")
+             .map_batches(synth_payloads, batch_format="pyarrow")
+             .map_batches(DecodeMedia,
+                          fn_constructor_kwargs={"decoder": "fake"},
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=2)
+             .map_batches(ResizeStub, batch_format="pyarrow",
+                          batch_size=16, concurrency=2))
+    rows = out.take_all()
+    assert len(rows) == 2
+    assert {r["media_type"] for r in rows} == {"image", "video"}

@@ -1,0 +1,69 @@
+"""Text-analysis operator tests (token stats, quality, lang-id,
+fingerprints, jaccard-vs-query)."""
+
+import pyarrow as pa
+
+from gumbo_pp_ray.stages.text_analysis import (
+    Fingerprint, LangId, QualityScore, token_stats, word_jaccard_vs_query,
+)
+
+
+def tbl(*texts):
+    return pa.table({"doc_id": list(range(len(texts))),
+                     "text": list(texts)})
+
+
+def test_token_stats():
+    out = token_stats(tbl("a b b c", "", "x")).to_pylist()
+    assert out[0] == {"doc_id": 0, "n_chars": 7, "n_tokens": 4,
+                      "n_uniq_tokens": 3, "uniq_ratio_milli": 750}
+    assert out[1]["n_tokens"] == 0 and out[1]["uniq_ratio_milli"] == 0
+    assert out[2]["n_tokens"] == 1
+
+
+def test_quality_score_integer_math():
+    out = QualityScore()(tbl("the quick brown fox", "aaa " * 50)).to_pylist()
+    r = out[0]
+    assert r["n_tokens"] == 4 and r["n_uniq"] == 4
+    expected = (400 * 4 // 200) + (300 * 4 // 4) + (300 * r["n_alpha"]
+                                                   // r["n_chars"])
+    assert r["quality_milli"] == expected
+    # repetitive text scores lower uniq component
+    assert out[1]["n_uniq"] == 1
+
+
+def test_lang_id_heuristic():
+    li = LangId()
+    assert li.predict("the cat is in the house and it was warm") == "en"
+    assert li.predict("le chat est dans la maison et il est un") == "fr"
+    assert li.predict("el gato es una maravilla y los perros en casa") == "es"
+    assert li.predict("der hund und die katze ist nicht da") == "de"
+    assert li.predict("这是一个测试") == "zh"
+    assert li.predict("") == "und"
+    out = li(tbl("the cat is the best of all the cats"))
+    assert out.column("lang_pred").to_pylist() == ["en"]
+
+
+def test_fingerprint_deterministic_and_local():
+    fp = Fingerprint(k=4, window=5)
+    a = fp.fingerprints("the quick brown fox jumps over the lazy dog")
+    b = fp.fingerprints("the quick brown fox jumps over the lazy dog")
+    assert a == b and len(a) > 0
+    # winnowing is local: a shared substring yields shared fingerprints
+    c = fp.fingerprints("XXXX the quick brown fox jumps over the lazy dog")
+    assert len(set(a) & set(c)) > 0
+    assert fp.fingerprints("") == []
+    out = fp(tbl("hello world hello world"))
+    assert out.column("n_fingerprints").to_pylist()[0] == \
+        len(out.column("fingerprints").to_pylist()[0])
+
+
+def test_word_jaccard_vs_query():
+    q = frozenset("a b c".split())
+    out = word_jaccard_vs_query(tbl("a b c", "a x y z", "q"),
+                                query_tokens=q).to_pylist()
+    assert out[0] == {"doc_id": 0, "n_inter": 3, "n_union": 3,
+                      "jaccard_milli": 1000}
+    assert out[1] == {"doc_id": 1, "n_inter": 1, "n_union": 6,
+                      "jaccard_milli": 166}
+    assert out[2]["n_inter"] == 0
