@@ -25,11 +25,10 @@ import pyarrow as pa
 _SF0001 = "/root/testdata/sf0.001"
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns=("doc_id", "text", "lang", "source")):
     import ray.data
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang", "source"])
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
 
 
 # --------------------------------------------------------------- entry
@@ -66,12 +65,12 @@ def _sel(selector_builder):
     per-row template; see stages/selector_query.py."""
     def run(sf_dir: str):
         from gumbo_pp_ray.stages.selector_query import SelectorQuery
-        from gumbo_pp_ray.state.sizing import default_concurrency
+        from gumbo_pp_ray.state.sizing import default_pool_size
         return _docs(sf_dir).map_batches(
             SelectorQuery,
             fn_constructor_kwargs={"selector": selector_builder()},
             batch_format="pyarrow", batch_size=256,
-            concurrency=default_concurrency())
+            concurrency=default_pool_size())
     return run
 
 
@@ -132,10 +131,10 @@ def _q_token_stats(sf_dir: str):
 
 def _q_quality_score(sf_dir: str):
     from gumbo_pp_ray.stages.text_analysis import QualityScore
-    from gumbo_pp_ray.state.sizing import default_concurrency
+    from gumbo_pp_ray.state.sizing import default_pool_size
     return _docs(sf_dir).map_batches(
         QualityScore, batch_format="pyarrow",
-        concurrency=default_concurrency())
+        concurrency=default_pool_size())
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -167,25 +166,25 @@ def _q_word_jaccard(sf_dir: str):
 
 def _q_lang_id(sf_dir: str):
     from gumbo_pp_ray.stages.text_analysis import LangId
-    from gumbo_pp_ray.state.sizing import default_concurrency
+    from gumbo_pp_ray.state.sizing import default_pool_size
     return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_concurrency())
+        LangId, batch_format="pyarrow", concurrency=default_pool_size())
 
 
 def _q_fingerprints(sf_dir: str):
     from gumbo_pp_ray.stages.text_analysis import Fingerprint
-    from gumbo_pp_ray.state.sizing import default_concurrency
+    from gumbo_pp_ray.state.sizing import default_pool_size
     ds = _docs(sf_dir).map_batches(
         Fingerprint, batch_format="pyarrow",
-        concurrency=default_concurrency())
+        concurrency=default_pool_size())
     return ds.select_columns(["doc_id", "n_fingerprints"])
 
 
 def _q_simhash(sf_dir: str):
     from gumbo_pp_ray.stages.dedup import SimHash
-    from gumbo_pp_ray.state.sizing import default_concurrency
+    from gumbo_pp_ray.state.sizing import default_pool_size
     return _docs(sf_dir).map_batches(
-        SimHash, batch_format="pyarrow", concurrency=default_concurrency())
+        SimHash, batch_format="pyarrow", concurrency=default_pool_size())
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -224,6 +223,18 @@ def _q_ann_topk_lsh(sf_dir: str):
                         n_flip=2)
 
 
+def _q_emb_neardup(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from gumbo_pp_ray.stages.similarity import embedding_neardup_pairs
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    corpus = {"ids": t.column("vec_id").to_pylist(),
+              "matrix": np.asarray(t.column("embedding").to_pylist(),
+                                   dtype=np.float64)}
+    return embedding_neardup_pairs(_emb(sf_dir), corpus, threshold=0.5)
+
+
 def _q_media_refs(sf_dir: str):
     from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
     from gumbo_pp_ray.pipelines.wrap import wrap_documents
@@ -239,12 +250,44 @@ def _q_media_decode(sf_dir: str):
     from gumbo_pp_ray.state.sizing import default_concurrency
     ds = _q_media_refs(sf_dir).map_batches(synth_payloads,
                                            batch_format="pyarrow")
+    # SECONDARY pool (the extract pool upstream is fixed-size):
+    # autoscaling from 1 — two fixed pools would over-reserve CPUs
     out = ds.map_batches(DecodeMedia,
                          fn_constructor_kwargs={"decoder": "fake"},
                          batch_format="pyarrow", batch_size=32,
                          concurrency=default_concurrency())
     return out.select_columns(["doc_id", "media_ref", "media_type",
                                "width", "height", "n_frames"])
+
+
+def _q_table_scrape(sf_dir: str):
+    from gumbo_pp_ray.stages.table_query import TableScrapeQuery
+    from gumbo_pp_ray.state.sizing import default_pool_size
+    return _docs(sf_dir, ("doc_id", "lang", "source", "n_chars")) \
+        .map_batches(TableScrapeQuery, batch_format="pyarrow",
+                     batch_size=256, concurrency=default_pool_size())
+
+
+def _q_extract_totals(sf_dir: str):
+    """Corpus-level counters (the lineage metrics path) as a tiny
+    aggregate over the flagship output."""
+    import ray.data
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+    from gumbo_pp_ray.pipelines.wrap import wrap_documents
+
+    ds = _docs(sf_dir).map_batches(wrap_documents, batch_format="pyarrow")
+    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    agg = out.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("n_spans", alias_name="n_spans"),
+        ray.data.aggregate.Sum("n_parse_errors", alias_name="n_parse_errors"))
+    import pyarrow as pa_
+    return pa_.table({
+        "n_docs": pa_.array([int(agg["count()"])], pa_.int64()),
+        "n_spans": pa_.array([int(agg["n_spans"])], pa_.int64()),
+        "n_parse_errors": pa_.array([int(agg["n_parse_errors"])],
+                                    pa_.int64()),
+    })
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -272,8 +315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,      # rows-only (probabilistic)
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,        # rows-only (approximate)
+        "emb_neardup": _q_emb_neardup,
         "media_refs": _q_media_refs,
         "media_decode": _q_media_decode,        # rows-only (stub decode)
+        "table_scrape": _q_table_scrape,
+        "extract_totals": _q_extract_totals,
     }
 
 
@@ -420,11 +466,38 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             WHERE rank <= 10
         """,
+        "emb_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.5
+        """,
         "media_refs": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    'img://doc/' || CAST(doc_id AS VARCHAR) || '.jpg'
                      AS media_ref,
                    'image' AS media_type
+            FROM documents
+        """,
+        "table_scrape": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(0 AS BIGINT) AS row_idx, CAST(0 AS BIGINT) AS col_idx,
+                   lang AS cell FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 0, 1, source FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1, 0,
+                   'n' || CAST(n_chars AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1, 1,
+                   CAST(doc_id AS VARCHAR) FROM documents
+        """,
+        "extract_totals": """
+            SELECT count(*) AS n_docs,
+                   3 * count(*) AS n_spans,
+                   CAST(0 AS BIGINT) AS n_parse_errors
             FROM documents
         """,
     }

@@ -156,7 +156,8 @@ def extract_spans(doc: Node, profile: ExtractProfile = DEFAULT_PROFILE):
         txt = "".join(buf)
         buf.clear()
         if normalize:
-            txt = _WS_RUN.sub(" ", txt).strip()
+            # equivalent to collapsing \s+ runs + strip, ~3x faster
+            txt = " ".join(txt.split())
         if txt:
             spans.append((kind, txt, "", len(spans)))
 
@@ -216,3 +217,38 @@ def extract_spans(doc: Node, profile: ExtractProfile = DEFAULT_PROFILE):
 
     flush(kind_stack[-1])
     return spans
+
+
+def scrape_table(doc: Node, scope: "match.Selector" = None,
+                 *, normalize_ws: bool = True) -> list[list[str]]:
+    """Structured table extraction — the reference's table-scrape
+    query (Q5, reference tests/src/table_scrape.cpp:43-71): find the
+    scope node (default: first <table>), then its tbody/table, then
+    per-TR per-TD/TH content text → list of rows of cell strings.
+
+    Mirrors the reference's nested find_iterator pattern: scoped
+    ``subtree`` ranges for rows/cells, ``walk_from`` (continue-past-
+    subtree) for the initial scope search.
+    """
+    from .walk import find_first, find_all, subtree, walk
+    from .text import content_text
+
+    if scope is None:
+        scope_node = find_first(walk(doc), match.TagIs("table"))
+    else:
+        scope_node = find_first(walk(doc), scope)
+    if scope_node is None:
+        return []
+    tbl = (scope_node if scope_node.tag in ("table", "tbody")
+           else find_first(subtree(scope_node),
+                           match.TagIs("table", "tbody")))
+    if tbl is None:
+        return []
+    rows = []
+    for tr in find_all(subtree(tbl), match.TagIs("tr")):
+        cells = [content_text(td, normalize_ws=normalize_ws,
+                              include_comments=False)
+                 for td in find_all(subtree(tr), match.TagIs("td", "th"))]
+        if cells:
+            rows.append(cells)
+    return rows

@@ -109,7 +109,7 @@ def _decode(raw: str) -> str:
 
 
 def _is_ws(s: str) -> bool:
-    return _WS_RE.search(s) is None
+    return s.isspace() or not s
 
 
 def _parse_attrs(raw: str) -> dict:

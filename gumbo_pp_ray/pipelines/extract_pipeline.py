@@ -65,7 +65,7 @@ def extract_dataset(
       groupby shuffle, ordered (chunk_id, offset). The shuffle moves
       extracted spans (output-sized), never raw HTML.
     """
-    from ..state.sizing import default_concurrency
+    from ..state.sizing import default_pool_size
 
     if reassembly not in ("map", "shuffle"):
         raise ValueError(f"reassembly must be 'map' or 'shuffle': {reassembly}")
@@ -74,7 +74,7 @@ def extract_dataset(
         ds = ds.map_batches(SplitMegaDocs(split_threshold),
                             batch_format="pyarrow")
     if concurrency is None:
-        concurrency = default_concurrency()
+        concurrency = default_pool_size()
     ds = ds.map_batches(
         ExtractSpans,
         fn_constructor_kwargs={

@@ -39,14 +39,20 @@ def _span(kind, text, media_ref=""):
     return {"kind": kind, "text": text, "media_ref": media_ref}
 
 
-def wrap_documents(batch: pa.Table, *, chunk_words: int | None = None
-                   ) -> pa.Table:
-    """map_batches transform: documents rows → (doc_id:string, spans)."""
+def wrap_documents(batch: pa.Table, *, chunk_words: int | None = None,
+                   repeat_text: int = 1) -> pa.Table:
+    """map_batches transform: documents rows → (doc_id:string, spans).
+
+    ``repeat_text`` tiles the text N times before wrapping — used by
+    the bench corpus to reach realistic web-page sizes (the testdata
+    texts are ~2 KB; real pages are tens of KB)."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     sources = batch.column("source").to_pylist()
     out_ids, out_spans = [], []
     for i, t, src in zip(ids, texts, sources):
+        if repeat_text > 1:
+            t = " ".join([t] * repeat_text)
         sid = str(i)
         ref = f"img://doc/{sid}.jpg"
         spans = [

@@ -191,9 +191,9 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
     """Full MinHash-LSH near-dup candidate pipeline over a documents
     Dataset → distinct (doc_a, doc_b, jaccard_est_milli)."""
     import functools
-    from ..state.sizing import default_concurrency
+    from ..state.sizing import default_pool_size
     if concurrency is None:
-        concurrency = default_concurrency()
+        concurrency = default_pool_size()
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm,

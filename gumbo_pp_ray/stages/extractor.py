@@ -17,6 +17,7 @@ actor, so multi-MB HTML strings never cross an object-store boundary.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..html.extract import DEFAULT_PROFILE, ExtractProfile, extract_spans
@@ -83,50 +84,77 @@ class ExtractSpans:
         offs = col.values.field("offset").to_numpy(zero_copy_only=False)
         row_offsets = col.offsets.to_numpy(zero_copy_only=False)
 
-        out_spans, statuses, n_errs, n_spans, n_bytes = [], [], [], [], []
+        # flat columnar output accumulators — the spans list<struct>
+        # column is assembled from four flat arrays + list offsets
+        # (ListArray.from_arrays), never per-span Python dicts: dict
+        # building was the allocation hot spot that capped aggregate
+        # throughput under a full actor pool (memory pressure, not CPU)
+        f_kind: list[str] = []
+        f_text: list[str] = []
+        f_ref: list[str] = []
+        statuses, n_errs, n_spans, n_bytes = [], [], [], []
+        span_counts = np.empty(len(doc_ids), dtype=np.int64)
+
         for i in range(len(doc_ids)):
             lo, hi = int(row_offsets[i]), int(row_offsets[i + 1])
             o = offs[lo:hi]
             if len(o) > 1 and not (o[:-1] <= o[1:]).all():
-                import numpy as np      # rare path: enforce offset order
-                order = np.argsort(o, kind="stable")
+                order = np.argsort(o, kind="stable")  # rare: enforce order
                 seg = [texts[lo + j] for j in order]
             else:
                 seg = texts[lo:hi]
             total_bytes = sum(len(s) for s in seg)
             if max_bytes is not None and total_bytes > max_bytes:
-                out_spans.append([])
+                span_counts[i] = 0
                 statuses.append("oversize")
                 n_errs.append(-1)
                 n_spans.append(0)
                 n_bytes.append(total_bytes)
                 continue
+            before = len(f_kind)
             try:
-                merged = []
                 errs = 0
                 step = chunk if (chunk and len(seg) > chunk) else len(seg) or 1
                 for j in range(0, len(seg), step):
                     doc = parse("".join(seg[j:j + step]))
                     errs += doc.parse_errors
-                    merged.extend(extract_spans(doc, profile))
-                out_spans.append(
-                    [{"kind": k, "text": t, "media_ref": m, "offset": x}
-                     for x, (k, t, m, _o) in enumerate(merged)])
+                    for k, t, m, _o in extract_spans(doc, profile):
+                        f_kind.append(k)
+                        f_text.append(t)
+                        f_ref.append(m)
+                count = len(f_kind) - before
+                span_counts[i] = count
                 statuses.append("ok")
                 n_errs.append(errs)
-                n_spans.append(len(merged))
+                n_spans.append(count)
             except Exception:           # poison row → quarantine, never raise
-                out_spans.append([])
+                del f_kind[before:], f_text[before:], f_ref[before:]
+                span_counts[i] = 0
                 statuses.append("error")
                 n_errs.append(-1)
                 n_spans.append(0)
             n_bytes.append(total_bytes)
 
+        list_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int32)
+        list_offsets[1:] = np.cumsum(span_counts)
+        # per-doc span offsets 0..n-1, vectorized
+        total = int(list_offsets[-1])
+        pos = np.arange(total, dtype=np.int32) - np.repeat(
+            list_offsets[:-1].astype(np.int32), span_counts)
+        values = pa.StructArray.from_arrays(
+            [pa.array(f_kind, pa.string()),
+             pa.array(f_text, pa.string()),
+             pa.array(f_ref, pa.string()),
+             pa.array(pos, pa.int32())],
+            names=["kind", "text", "media_ref", "offset"])
+        spans_arr = pa.ListArray.from_arrays(pa.array(list_offsets),
+                                             values)
+
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.string()),
             "chunk_id": pa.array(chunk_ids, pa.int32()),
             "n_chunks": pa.array(n_chunks, pa.int32()),
-            "spans": pa.array(out_spans, SPANS_TYPE),
+            "spans": spans_arr,
             "status": pa.array(statuses, pa.string()),
             "n_parse_errors": pa.array(n_errs, pa.int64()),
             "n_spans": pa.array(n_spans, pa.int64()),

@@ -89,9 +89,9 @@ def ann_topk(ds, queries: dict, *, k: int = 10, exclude_self: bool = True,
     queries {"ids": [...], "matrix": ndarray} → (query_id,
     neighbor_id, rank)."""
     import ray
-    from ..state.sizing import default_concurrency
+    from ..state.sizing import default_pool_size
     if concurrency is None:
-        concurrency = default_concurrency()
+        concurrency = default_pool_size()
     ref = ray.put(queries)
     cand = ds.map_batches(
         BruteForceTopK,
@@ -149,9 +149,9 @@ def ann_topk_lsh(ds, queries: dict, *, dim: int, k: int = 10,
     each batch only scores queries probing one of its buckets. Same
     output schema as ann_topk (recall < 1; measured in tests)."""
     import ray
-    from ..state.sizing import default_concurrency
+    from ..state.sizing import default_pool_size
     if concurrency is None:
-        concurrency = default_concurrency()
+        concurrency = default_pool_size()
 
     lsh = HyperplaneLsh(dim, n_planes, seed)
     qm = _normalize(np.asarray(queries["matrix"]))
@@ -207,3 +207,51 @@ def ann_topk_lsh(ds, queries: dict, *, dim: int, k: int = 10,
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
     return cand.groupby("query_id").map_groups(
         _topk_reduce_factory(k, exclude_self), batch_format="pyarrow")
+
+
+class NearDupPairs:
+    """Embedding-cosine near-dup pairs: each batch is scored against
+    the broadcast (normalized) corpus matrix; emits (vec_a < vec_b)
+    pairs with cosine >= threshold.
+
+    Exact but O(N^2/batch) — the small-N / verification tool. At
+    10^12-vector scale use hyperplane bucketing first
+    (``lsh_bucket_stage`` + within-bucket pairwise, same shape as
+    dedup.minhash_lsh_pairs) and accept the recall/probe trade-off.
+    """
+
+    def __init__(self, corpus_ref, threshold: float = 0.5):
+        c = Broadcast.get(corpus_ref)           # once per actor
+        self.ids = np.asarray(c["ids"], dtype=np.int64)
+        self.m = c["matrix"]                    # already normalized
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(batch))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = vecs @ self.m.T                  # (B, N)
+        bi, cj = np.nonzero(sims >= self.threshold)
+        a = ids[bi]
+        b = self.ids[cj]
+        keep = a < b                            # dedupe + drop self
+        return pa.table({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+        })
+
+
+def embedding_neardup_pairs(ds, corpus: dict, *, threshold: float = 0.5,
+                            concurrency=None):
+    """Dataset(vec_id, embedding) + broadcast {"ids", "matrix"} →
+    exact cosine near-dup pairs (vec_a, vec_b)."""
+    import ray
+    from ..state.sizing import default_pool_size
+    if concurrency is None:
+        concurrency = default_pool_size()
+    payload = {"ids": np.asarray(corpus["ids"], dtype=np.int64),
+               "matrix": _normalize(np.asarray(corpus["matrix"]))}
+    ref = ray.put(payload)
+    return ds.map_batches(
+        NearDupPairs,
+        fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)

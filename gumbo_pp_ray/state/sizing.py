@@ -19,14 +19,21 @@ def default_pool_size(reserve: int = 2, floor: int = 2) -> int:
 
 
 def default_concurrency(reserve: int = 2, floor: int = 2) -> tuple:
-    """Autoscaling pool bounds ``(1, cpus - reserve)``.
+    """Autoscaling pool bounds ``(1, cpus - reserve)`` — for SECONDARY
+    pools only.
 
-    A FIXED pool reserves its CPUs for the pipeline's lifetime; two
-    fixed pools in one pipeline can reserve every core and starve the
-    read/shuffle tasks — observed as a hard livelock (idle-worker
-    SIGTERM → lost blocks → unsatisfiable re-execution). Autoscaling
-    from 1 lets the scheduler grow pools only when capacity exists.
-    Keep at most ONE actor pool per pipeline where possible; stateless
-    stages should be plain functions.
+    Pool-sizing rules (both failure modes measured in this sandbox):
+
+    * The ONE hot pool of a pipeline gets a FIXED size
+      (``default_pool_size()``): Ray's autoscaling policy ramps far too
+      slowly for batch jobs — measured 2x slower end-to-end than a
+      fixed pool on identical input (autoscale (1,30): 7.4k docs/s vs
+      fixed 24: 15k docs/s).
+    * Any ADDITIONAL pool in the same pipeline autoscales from 1
+      (this function): two fixed pools that sum to every core starve
+      the read/shuffle tasks — observed as a hard livelock
+      (idle-worker SIGTERM → lost blocks → unsatisfiable
+      re-execution). A min of 1 cannot deadlock.
+    * Stateless stages are plain functions, never pools.
     """
     return (1, default_pool_size(reserve, floor))

@@ -135,3 +135,31 @@ def test_empty_and_whitespace_only_docs():
 def test_nested_list_items():
     s = spans_of("<ul><li>a<ul><li>b</li></ul></li></ul>")
     assert [(x[0], x[1]) for x in s] == [("list_item", "a"), ("list_item", "b")]
+
+
+def test_scrape_table_reference_golden():
+    # the reference's table-scrape query (tests/src/table_scrape.cpp)
+    from gumbo_pp_ray.html.extract import scrape_table
+    from gumbo_pp_ray.html import parse, match
+    doc = parse(
+        "<html><head><title>Table example</title></head><body>"
+        "<div id='important_table'><table><tbody>"
+        "<tr><td><strong>Item</strong></td><td><strong>Quantity</strong></td></tr>"
+        "<tr><td>Plate</td><td>10</td></tr>"
+        "<tr><td>Bowl</td><td>5</td></tr>"
+        "</tbody></table></div></body>")
+    rows = scrape_table(doc, match.tag.DIV & match.id.is_("important_table"))
+    assert rows == [["Item", "Quantity"], ["Plate", "10"], ["Bowl", "5"]]
+    # CSV golden (reference stdout format)
+    assert "\n".join(",".join(r) for r in rows) == \
+        "Item,Quantity\nPlate,10\nBowl,5"
+
+
+def test_scrape_table_defaults_and_misses():
+    from gumbo_pp_ray.html.extract import scrape_table
+    from gumbo_pp_ray.html import parse, match
+    assert scrape_table(parse("<p>none</p>")) == []
+    assert scrape_table(parse("<table><tr><th>h</th></tr></table>")) == [["h"]]
+    # scope with no table inside
+    doc = parse("<div id='x'>text</div><table><tr><td>y</td></tr></table>")
+    assert scrape_table(doc, match.id.is_("x")) == []

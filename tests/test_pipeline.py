@@ -165,3 +165,40 @@ def test_run_extraction_resume(ray_session, tmp_path):
     ds = ray.data.read_parquet(files)
     assert sorted(r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all()) \
         == [f"doc-{i:06d}" for i in range(40)]
+
+
+def test_table_scrape_query_stage(ray_session):
+    import ray.data
+    from gumbo_pp_ray.stages.table_query import TableScrapeQuery
+
+    t = pa.table({"doc_id": [7], "lang": ["en"], "source": ["src3"],
+                  "n_chars": [42]})
+    out = (ray.data.from_arrow(t)
+           .map_batches(TableScrapeQuery, batch_format="pyarrow",
+                        concurrency=1).take_all())
+    cells = {(r["row_idx"], r["col_idx"]): r["cell"] for r in out}
+    assert cells == {(0, 0): "en", (0, 1): "src3",
+                     (1, 0): "n42", (1, 1): "7"}
+    assert all(r["doc_id"] == "7" for r in out)
+
+
+def test_cli_gen_and_extract_and_stats(ray_session, tmp_path, capsys):
+    from gumbo_pp_ray import cli
+
+    inp = str(tmp_path / "c")
+    out = str(tmp_path / "o")
+    assert cli.main(["gen-corpus", "--output", inp, "--docs", "30",
+                     "--files", "3", "--mega-every", "0"]) == 0
+    # note: cmd_extract shuts the session down; re-init in fixture scope
+    import ray
+    rc = cli.main(["extract", "--input", inp, "--output", out,
+                   "--files-per-wave", "2"])
+    assert rc == 0
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    assert cli.main(["stats", "--output", out]) == 0
+    captured = capsys.readouterr().out.strip().splitlines()
+    import json
+    st = json.loads(captured[-1])
+    assert st["docs"] == 30 and st["errors"] == 0

@@ -75,3 +75,31 @@ def test_lsh_recall_on_clustered_data(ray_session):
     expected = numpy_topk(pts, q_ids, 9)
     recalls = [len(got.get(q, set()) & set(expected[q])) / 9 for q in q_ids]
     assert np.mean(recalls) > 0.8, recalls
+
+
+def test_embedding_neardup_pairs_exact(ray_session):
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import embedding_neardup_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    # plant two near-dup pairs
+    base[10] = base[3] + 0.01 * rng.standard_normal(16)
+    base[40] = base[20] + 0.01 * rng.standard_normal(16)
+    table = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in base],
+                              pa.list_(pa.float32())),
+    })
+    corpus = {"ids": list(range(50)), "matrix": base}
+    out = embedding_neardup_pairs(ray.data.from_arrow(table), corpus,
+                                  threshold=0.95, concurrency=2).take_all()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert (3, 10) in pairs and (20, 40) in pairs
+    # exactness: matches the numpy reference at the same threshold
+    m = base.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    expected = {(i, j) for i in range(50) for j in range(i + 1, 50)
+                if sims[i, j] >= 0.95}
+    assert pairs == expected
