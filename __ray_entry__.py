@@ -192,6 +192,11 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def _q_simhash_pairs(sf_dir: str):
+    from gumbo_pp_ray.stages.dedup import simhash_neardup_pairs
+    return simhash_neardup_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def _read_query_embeddings(sf_dir: str, n: int = 10) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -312,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,                  # rows-only (heuristic)
         "fingerprints": _q_fingerprints,        # rows-only (winnowing)
         "simhash": _q_simhash,                  # rows-only (bit sketch)
+        "simhash_pairs": _q_simhash_pairs,      # rows-only (bit-band LSH)
         "minhash_pairs": _q_minhash_pairs,      # rows-only (probabilistic)
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,        # rows-only (approximate)

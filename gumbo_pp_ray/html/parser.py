@@ -77,6 +77,8 @@ _CLOSED_BY = {
     "option": frozenset(("option", "optgroup")),
     "optgroup": frozenset(("optgroup",)),
 }
+# every tag that can trigger an implied end — gate for the close loop
+_ANY_CLOSER = frozenset().union(*_CLOSED_BY.values())
 
 _START_TAG_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
@@ -148,7 +150,7 @@ class _TreeBuilder:
     def _append(self, node: Node):
         parent = self.stack[-1]
         node.parent = parent
-        kids = parent.children
+        kids = parent._children        # Document/Element slot (hot path)
         node.index_within_parent = len(kids)
         kids.append(node)
 
@@ -227,6 +229,14 @@ class _TreeBuilder:
 
     def start_tag(self, tag: str, attrs: dict, start: int, end: int,
                   self_closing: bool) -> Element:
+        # fast path: the steady state is in-body with an ordinary tag
+        if self.mode == _IN_BODY:
+            if tag not in ("html", "head", "body"):
+                return self._insert_element(tag, attrs, start, end,
+                                            self_closing)
+            self.parse_errors += 1      # duplicate structural tag: ignore
+            top = self.stack[-1]
+            return top if isinstance(top, Element) else None
         if self.mode == _BEFORE_HTML:
             if tag == "html":
                 el = Element("html", attrs, start, end)
@@ -274,13 +284,15 @@ class _TreeBuilder:
     def _insert_element(self, tag: str, attrs: dict, start: int, end: int,
                         self_closing: bool) -> Element:
         # implied end tags: close stack tops that the new tag terminates
-        while True:
-            top = self.stack[-1]
-            closers = _CLOSED_BY.get(top.tag)
-            if closers is not None and tag in closers:
-                self._pop(start)
-            else:
-                break
+        # (skip the loop entirely when this tag closes nothing)
+        if tag in _ANY_CLOSER:
+            while True:
+                top = self.stack[-1]
+                closers = _CLOSED_BY.get(top.tag)
+                if closers is not None and tag in closers:
+                    self._pop(start)
+                else:
+                    break
         el = Element(tag, attrs, start, end)
         if tag in VOID_ELEMENTS or self_closing:
             self._append(el)
@@ -290,6 +302,14 @@ class _TreeBuilder:
         return el
 
     def end_tag(self, tag: str, start: int, end: int):
+        # fast path: well-formed close of the current element
+        top = self.stack[-1]
+        if (top.tag == tag and self.mode == _IN_BODY
+                and top is not self.body and top is not self.html):
+            self.stack.pop()
+            top.end_tag_start = start
+            top.end = end
+            return
         if self.mode != _IN_BODY and tag in ("body", "html"):
             self._ensure_body(start)
         if tag == "head" and self.mode == _IN_HEAD:
@@ -400,9 +420,10 @@ def parse(html: str) -> Document:
                 tb.parse_errors += 1
                 tb.text(html[lt:], lt, n)
                 break
-            tag = m.group(1).lower()
-            attrs = _parse_attrs(m.group(2)) if m.group(2) else {}
-            self_closing = m.group(3) == "/"
+            tag, rawattrs, slash = m.group(1, 2, 3)
+            tag = tag.lower()
+            attrs = _parse_attrs(rawattrs) if rawattrs else {}
+            self_closing = slash == "/"
             el = tb.start_tag(tag, attrs, lt, m.end(), self_closing)
             pos = m.end()
             if (el is not None and el.tag == tag and not self_closing

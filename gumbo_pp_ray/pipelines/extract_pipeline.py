@@ -48,6 +48,7 @@ def extract_dataset(
     reassembly: str = "map",
     concurrency=None,
     batch_size: int = 96,
+    max_doc_bytes: int | None = 256 * 1024 * 1024,
 ) -> "ray.data.Dataset":
     """Compose the extraction stages over an interleaved-docs Dataset.
 
@@ -79,6 +80,7 @@ def extract_dataset(
         ExtractSpans,
         fn_constructor_kwargs={
             "profile": profile,
+            "max_doc_bytes": max_doc_bytes,
             "chunk_spans": None if shuffle else split_threshold},
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -97,6 +99,11 @@ def _wave_name(i: int) -> str:
     return f"wave-{i:05d}"
 
 
+def shutil_rmtree(path: str):
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def run_extraction(
     input_path: str,
     out_dir: str,
@@ -107,6 +114,7 @@ def run_extraction(
     batch_size: int = 96,
     files_per_wave: int = 32,
     resume: bool = True,
+    max_doc_bytes: int | None = 256 * 1024 * 1024,
 ) -> dict:
     """Checkpoint-resumable extraction job. Returns run summary."""
     files = list_input_files(input_path)
@@ -136,25 +144,35 @@ def run_extraction(
         out = extract_dataset(ds, profile=profile,
                               split_threshold=split_threshold,
                               concurrency=concurrency,
-                              batch_size=batch_size)
+                              batch_size=batch_size,
+                              max_doc_bytes=max_doc_bytes)
         tmp_dir = os.path.join(out_dir, f"_tmp-{name}")
         if os.path.isdir(tmp_dir):          # stale partial write
             import shutil
             shutil.rmtree(tmp_dir)
         out = out.materialize()
+        # quarantine split: error/oversize rows go to a sidecar dir,
+        # clean rows to the wave output (out is materialized — the
+        # filters do not re-run extraction)
+        bad = out.filter(expr="status != 'ok'")
+        n_err = bad.count()
+        if n_err:
+            qdir = os.path.join(out_dir, "_quarantine", name)
+            shutil_rmtree(qdir)
+            bad.write_parquet(qdir)
+            out = out.filter(expr="status == 'ok'")
         out.write_parquet(tmp_dir)
         stats = out.aggregate(
             ray.data.aggregate.Count(),
             ray.data.aggregate.Sum("n_spans", alias_name="spans"),
             ray.data.aggregate.Sum("n_parse_errors", alias_name="perr"),
         )
-        n_err = out.filter(
-            expr="status == 'error'").count()
         os.replace(tmp_dir, final_dir)      # atomic commit of the wave
         manifest = {
             "wave": name,
             "input_files": wave_files,
-            "docs": stats["count()"],
+            "docs": int(stats["count()"] or 0) + int(n_err),
+            "docs_ok": int(stats["count()"] or 0),
             "spans": int(stats["spans"] or 0),
             "parse_errors": int(stats["perr"] or 0),
             "errors": int(n_err),

@@ -49,3 +49,16 @@ def read_interleaved(paths: str | list[str], *,
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(paths, columns=columns, **kw)
+
+
+def list_output_files(out_dir: str) -> list[str]:
+    """Data files of a run_extraction output, excluding the ``_``-
+    prefixed sidecars (_lineage, _quarantine, _tmp-*). Filters on the
+    path RELATIVE to out_dir — absolute paths may contain those
+    substrings by accident."""
+    out = []
+    for f in list_input_files(out_dir):
+        rel = os.path.relpath(f, out_dir)
+        if not rel.startswith("_"):
+            out.append(f)
+    return out

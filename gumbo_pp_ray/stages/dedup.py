@@ -266,3 +266,87 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
         return 1.0
     u = len(ga | gb)
     return len(ga & gb) / u if u else 0.0
+
+
+def simhash_bands(batch: pa.Table, *, bands: int = 4) -> pa.Table:
+    """Explode 64-bit simhashes into bit-band rows (band_id:band_value
+    key). Pigeonhole guarantee: two hashes within Hamming distance
+    bands-1 share at least one exact band — the standard bit-sampling
+    LSH for Hamming space. Stateless function stage."""
+    ids = batch.column("doc_id").to_pylist()
+    hs = batch.column("simhash").to_numpy(zero_copy_only=False)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    out_key, out_id, out_h = [], [], []
+    u = hs.astype(np.uint64)
+    for b in range(bands):
+        vals = (u >> np.uint64(b * width)) & np.uint64(mask)
+        for i, v in zip(ids, vals):
+            out_key.append((b << 16) ^ int(v))
+            out_id.append(i)
+    out_h = list(hs) * bands
+    return pa.table({
+        "band_key": pa.array(out_key, pa.int64()),
+        "doc_id": pa.array(out_id),
+        "simhash": pa.array(out_h, pa.int64()),
+    })
+
+
+def simhash_bucket_pairs(group: pa.Table, *, max_hamming: int = 3
+                         ) -> pa.Table:
+    """Within one simhash band bucket: pairwise Hamming; emit pairs
+    (doc_a < doc_b, hamming <= max_hamming). Bucket size capped at 256
+    (hot-bucket guard, same policy as MinHash buckets)."""
+    ids = group.column("doc_id").to_pylist()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if len(ids) < 2:
+        return empty
+    order = np.argsort(ids, kind="stable")[:256]
+    hs = group.column("simhash").to_numpy(zero_copy_only=False)
+    ids = [ids[i] for i in order]
+    u = hs[order].astype(np.uint64)
+    a_out, b_out, d_out = [], [], []
+    for i in range(len(ids) - 1):
+        x = u[i + 1:] ^ u[i]
+        # vectorized popcount via uint8 view + unpackbits
+        bits = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+        dist = bits.sum(axis=1)
+        for k in np.nonzero(dist <= max_hamming)[0]:
+            a, b = ids[i], ids[i + 1 + k]
+            if a == b:
+                continue
+            if a > b:
+                a, b = b, a
+            a_out.append(a)
+            b_out.append(b)
+            d_out.append(int(dist[k]))
+    if not a_out:
+        return empty
+    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                     "doc_b": pa.array(b_out, pa.int64()),
+                     "hamming": pa.array(d_out, pa.int64())})
+
+
+def simhash_neardup_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
+                          concurrency=None):
+    """SimHash near-dup pipeline over a documents Dataset:
+    simhash → bit-band explode → groupby(band) → within-bucket Hamming
+    → distinct (doc_a, doc_b, hamming). Exact for
+    max_hamming <= bands-1 (pigeonhole); the only shuffle moves
+    (band_key, doc_id, simhash) rows."""
+    import functools
+    from ..state.sizing import default_pool_size
+    if concurrency is None:
+        concurrency = default_pool_size()
+    sh = ds.map_batches(SimHash, batch_format="pyarrow",
+                        concurrency=concurrency)
+    bandrows = sh.map_batches(
+        functools.partial(simhash_bands, bands=bands),
+        batch_format="pyarrow")
+    pairs = bandrows.groupby("band_key").map_groups(
+        functools.partial(simhash_bucket_pairs, max_hamming=max_hamming),
+        batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

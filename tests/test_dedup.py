@@ -136,3 +136,30 @@ def test_minhash_lsh_finds_planted_pairs(ray_session, dup_corpus):
         assert ngram_jaccard(
             table.column("text")[a].as_py(),
             table.column("text")[b].as_py()) > 0.3
+
+
+def test_simhash_neardup_pipeline(ray_session):
+    import ray.data
+    from gumbo_pp_ray.stages.dedup import simhash_neardup_pairs
+
+    rng = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(400)]
+    texts, ids = [], []
+    for n in range(40):
+        texts.append(" ".join(rng.choice(words, 60)))
+        ids.append(n)
+    # planted near-dup: one word changed out of 60
+    base = texts[5].split()
+    base[10] = "ALTERED"
+    texts.append(" ".join(base))
+    ids.append(40)
+    t = pa.table({"doc_id": ids, "text": texts})
+    pairs = simhash_neardup_pairs(ray.data.from_arrow(t), max_hamming=3,
+                                  concurrency=2).take_all()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (5, 40) in found, found
+    # no random pair should be within hamming 3
+    from gumbo_pp_ray.stages.dedup import SimHash, hamming64
+    for a, b in found:
+        d = hamming64(SimHash.simhash64(texts[a]), SimHash.simhash64(texts[b]))
+        assert d <= 3

@@ -202,3 +202,30 @@ def test_cli_gen_and_extract_and_stats(ray_session, tmp_path, capsys):
     import json
     st = json.loads(captured[-1])
     assert st["docs"] == 30 and st["errors"] == 0
+
+
+def test_run_extraction_quarantine(ray_session, tmp_path):
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    inp = str(tmp_path / "qc")
+    out = str(tmp_path / "qo")
+    write_corpus(inp, CorpusSpec(num_docs=20, mega_every=0), files=2)
+    # tiny byte cap → most docs quarantined as oversize
+    s = run_extraction(inp, out, files_per_wave=2, concurrency=2,
+                       batch_size=8, max_doc_bytes=400)
+    assert s["errors"] > 0
+    assert s["docs"] == 20
+    qdir = os.path.join(out, "_quarantine", "wave-00000")
+    assert os.path.isdir(qdir)
+    import ray.data
+    from gumbo_pp_ray.sources.io import list_input_files
+    bad = ray.data.read_parquet(list_input_files(qdir))
+    assert bad.count() == s["errors"]
+    assert set(r["status"] for r in bad.take_all()) == {"oversize"}
+    # clean output contains only ok rows (filter on the path RELATIVE
+    # to the run dir — the absolute tmp path itself contains the
+    # substring "_quarantine" via the test name)
+    good_files = [f for f in list_input_files(out)
+                  if not os.path.relpath(f, out).startswith("_")]
+    good = ray.data.read_parquet(good_files)
+    assert good.count() == 20 - s["errors"]
