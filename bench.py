@@ -122,9 +122,55 @@ def bench_selector() -> dict:
     return {"sec": time.perf_counter() - t0, "rows": n}
 
 
+def _docs_ds():
+    import ray.data
+    return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def bench_dedup_minhash() -> dict:
+    """MinHash+LSH near-dup pipeline over the sf documents table."""
+    from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
+
+    t0 = time.perf_counter()
+    n = minhash_lsh_pairs(_docs_ds(), threshold=0.5).count()
+    return {"sec": time.perf_counter() - t0, "pairs": n}
+
+
+def bench_dedup_exact() -> dict:
+    """Exact content-hash dedup (hash shuffle over narrow columns)."""
+    from gumbo_pp_ray.stages.dedup import exact_dedup
+
+    t0 = time.perf_counter()
+    n = exact_dedup(_docs_ds()).count()
+    return {"sec": time.perf_counter() - t0, "groups": n}
+
+
+def bench_ann() -> dict:
+    """Brute-force cosine top-10 for 32 queries over embeddings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import ann_topk
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 32)])
+    queries = {"ids": t.column("vec_id").to_pylist(),
+               "matrix": np.asarray(t.column("embedding").to_pylist(),
+                                    dtype=np.float64)}
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ann_topk(ds, queries, k=10).count()
+    return {"sec": time.perf_counter() - t0, "rows": n}
+
+
 BENCHES = {
     "extract": bench_extract,
     "selector": bench_selector,
+    "dedup_exact": bench_dedup_exact,
+    "dedup_minhash": bench_dedup_minhash,
+    "ann": bench_ann,
 }
 
 
