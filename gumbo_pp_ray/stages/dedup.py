@@ -107,19 +107,36 @@ class MinHasher:
 
 
 class MinHashSignatures:
-    """map_batches actor: text → signature (list<uint64 as int64>)."""
+    """map_batches actor: text → signature (list<uint64 as int64>).
+
+    Vectorized across the whole batch: ONE (P x total_shingles)
+    permuted-hash matrix + per-doc segment minima
+    (``np.minimum.reduceat``) instead of a per-document outer product.
+    """
 
     def __init__(self, num_perm: int = 128, shingle_words: int = 3,
                  seed: int = 42):
         self.mh = MinHasher(num_perm, shingle_words, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.mh.signature(t).astype(np.int64)
-                for t in batch.column("text").to_pylist()]
+        mh = self.mh
+        texts = batch.column("text").to_pylist()
+        shingle_arrays = [mh.shingles(t) for t in texts]
+        counts = np.asarray([len(s) for s in shingle_arrays],
+                            dtype=np.int64)
+        out = np.zeros((len(texts), mh.num_perm), dtype=np.int64)
+        nonempty = counts > 0
+        if nonempty.any():
+            x = np.concatenate([s for s in shingle_arrays if len(s)])
+            # (P, total) permuted hashes; modest memory: P*total*8B
+            hx = (np.outer(mh.a, x) + mh.b[:, None]) % _MERSENNE
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(counts[nonempty][:-1], out=starts[1:])
+            mins = np.minimum.reduceat(hx, starts, axis=1)  # (P, docs)
+            out[nonempty] = mins.T.astype(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "signature": pa.array([s.tolist() for s in sigs],
-                                  pa.list_(pa.int64())),
+            "signature": pa.array(out.tolist(), pa.list_(pa.int64())),
         })
 
 
@@ -185,11 +202,28 @@ def bucket_candidate_pairs(group: pa.Table, *, threshold: float = 0.5
                      "jaccard_est_milli": pa.array(j_out, pa.int64())})
 
 
+def _dedupe_pairs_local(batch: pa.Table) -> pa.Table:
+    """Single-block distinct over (doc_a, doc_b) — pandas drop_duplicates
+    on two int columns."""
+    if batch.num_rows == 0:
+        return batch
+    df = batch.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
                       shingle_words=3, threshold=0.5, seed=42,
-                      concurrency=None):
+                      concurrency=None, pair_dedup="local"):
     """Full MinHash-LSH near-dup candidate pipeline over a documents
-    Dataset → distinct (doc_a, doc_b, jaccard_est_milli)."""
+    Dataset → distinct (doc_a, doc_b, jaccard_est_milli).
+
+    ``pair_dedup``: a pair can surface from several bands. ``"local"``
+    (default) coalesces the candidate rows into one block and dedupes
+    with pandas — right when pairs are output-sized (near-dup rate a
+    few %; avoids a second sort shuffle, measured -3-4s fixed cost).
+    ``"shuffle"`` uses a groupby — right when the candidate set itself
+    is huge (boilerplate-heavy corpora at 10^12 scale).
+    """
     import functools
     from ..state.sizing import default_pool_size
     if concurrency is None:
@@ -205,9 +239,11 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
     pairs = bandrows.groupby("band_key").map_groups(
         functools.partial(bucket_candidate_pairs, threshold=threshold),
         batch_format="pyarrow")
-    # a pair can surface from several bands → distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    if pair_dedup == "shuffle":
+        return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return pairs.repartition(1).map_batches(
+        _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------------------- SimHash
@@ -348,5 +384,6 @@ def simhash_neardup_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
     pairs = bandrows.groupby("band_key").map_groups(
         functools.partial(simhash_bucket_pairs, max_hamming=max_hamming),
         batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # output-sized candidate set → local distinct (see minhash_lsh_pairs)
+    return pairs.repartition(1).map_batches(
+        _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
