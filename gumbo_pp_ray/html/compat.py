@@ -27,7 +27,7 @@ from __future__ import annotations
 from .dom import Node
 from .parser import parse
 from .text import content_text, inner_text, outer_text
-from .walk import subtree, walk, walk_from
+from .walk import subtree, walk
 
 
 class GumboRange:

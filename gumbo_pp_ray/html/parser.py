@@ -87,6 +87,12 @@ _START_TAG_RE = re.compile(
     re.S,
 )
 _END_TAG_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:_-]*)\s*>")
+# fallback for tags the quote-aware regex rejects (e.g. a stray quote
+# inside an unquoted attribute value: <div class=foo"bar>) — consume to
+# the first '>' like the HTML5 tokenizer's attribute-value-unquoted
+# state would
+_START_TAG_RELAXED_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*?)(/?)>")
 _ATTR_RE = re.compile(
     r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
@@ -414,6 +420,10 @@ def parse(html: str) -> Document:
                 pos = gt + 1
         elif c.isalpha():
             m = _START_TAG_RE.match(html, lt)
+            if not m:
+                m = _START_TAG_RELAXED_RE.match(html, lt)
+                if m:
+                    tb.parse_errors += 1    # malformed attrs, recovered
             if not m:
                 # unterminated tag: rest of input is text (tokenizer
                 # EOF-in-tag error)

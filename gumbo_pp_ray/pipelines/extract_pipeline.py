@@ -177,6 +177,9 @@ def run_extraction(
             "parse_errors": int(stats["perr"] or 0),
             "errors": int(n_err),
             "wall_sec": round(time.perf_counter() - t0, 3),
+            # Dataset.stats() excerpt (SURVEY.md §4.2 metrics): per-
+            # stage wall/cpu/rows for post-hoc performance forensics
+            "stats_excerpt": out.stats()[:2000],
         }
         with open(manifest_path + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1)

@@ -20,7 +20,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def token_stats(batch: pa.Table) -> pa.Table:

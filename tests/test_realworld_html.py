@@ -1,0 +1,87 @@
+"""Real-world HTML oddities — hardening corpus beyond the reference's
+own documents (conditional comments, malformed attributes, namespaced
+tags, table scaffolding, entity edge cases)."""
+
+import pytest
+
+from gumbo_pp_ray.html import parse, walk, content_text, extract_spans
+
+
+CASES = [
+    ("unquoted attr with url",
+     "<a href=http://x.com/y>L</a>",
+     lambda d: [n.attr("href") for n in walk(d) if n.tag == "a"]
+     == ["http://x.com/y"]),
+    ("attrs jammed together",
+     "<div a='1'b='2'>x</div>",
+     lambda d: [n.attrs for n in walk(d) if n.tag == "div"]
+     == [{"a": "1", "b": "2"}]),
+    ("quote inside unquoted attr value",
+     '<div class=foo"bar>x</div>',
+     lambda d: [n.attrs for n in walk(d) if n.tag == "div"]
+     == [{"class": 'foo"bar'}] and content_text(d) == "x"),
+    ("numeric entities dec and hex",
+     "<p>&#x41;&#66;</p>",
+     lambda d: content_text(d) == "AB"),
+    ("bare ampersand survives",
+     "<p>a&ampb &lt c</p>",
+     lambda d: "&" in content_text(d)),
+    ("thead th plus tbody td",
+     "<table><thead><tr><th>H</th></tr></thead>"
+     "<tbody><tr><td>x</td></tr></tbody></table>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["H", "x"]),
+    ("unclosed dt dd",
+     "<dl><dt>term<dd>def</dl>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["term", "def"]),
+    ("legacy doctype",
+     '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01//EN">'
+     "<html><body>x</body></html>",
+     lambda d: d.doctype.lower().startswith("html")),
+    ("conditional comment excluded",
+     "<!--[if IE]><p>ie</p><![endif]--><p>all</p>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["all"]),
+    ("nested tables",
+     "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr>"
+     "</table>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["inner"]),
+    ("svg subtree stripped",
+     "<svg><text>vector</text></svg><p>keep</p>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["keep"]),
+    ("colgroup and col",
+     "<table><colgroup><col span='2'></colgroup><tr><td>a</td></tr>"
+     "</table>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["a"]),
+    ("select options stripped",
+     "<select><option>one</option></select><p>k</p>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["k"]),
+    ("iframe fallback stripped",
+     "<iframe><p>fallback</p></iframe><p>k</p>",
+     lambda d: [s[1] for s in extract_spans(d)] == ["k"]),
+    ("crlf normalized",
+     "<p>a\r\nb</p>",
+     lambda d: extract_spans(d)[0][1] == "a b"),
+    ("namespaced office tag treated as element",
+     "<o:p>ms office</o:p>",
+     lambda d: content_text(d) == "ms office"),
+    ("newline inside tag",
+     "<a\nhref='x'>L</a>",
+     lambda d: [n.attr("href") for n in walk(d) if n.tag == "a"] == ["x"]),
+    ("duplicate body ignored",
+     "<body><p>a</p></body><body><p>b</p></body>",
+     lambda d: "".join(s[1] for s in extract_spans(d)) == "ab"),
+    ("gt inside quoted attr",
+     '<div title="a>b">x</div>',
+     lambda d: [n.attr("title") for n in walk(d) if n.tag == "div"]
+     == ["a>b"]),
+    ("wbr does not split block",
+     "<p>super<wbr>cali</p>",
+     lambda d: "".join(s[1] for s in extract_spans(d)).replace(" ", "")
+     == "supercali"),
+]
+
+
+@pytest.mark.parametrize("name,html,check",
+                         CASES, ids=[c[0] for c in CASES])
+def test_realworld_case(name, html, check):
+    d = parse(html)
+    assert check(d), name
