@@ -265,6 +265,16 @@ def _q_media_decode(sf_dir: str):
                                "width", "height", "n_frames"])
 
 
+def _q_vocab_size(sf_dir: str):
+    from gumbo_pp_ray.stages.sketches import exact_distinct_tokens
+    return exact_distinct_tokens(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_vocab_size_hll(sf_dir: str):
+    from gumbo_pp_ray.stages.sketches import hll_distinct_tokens
+    return hll_distinct_tokens(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_table_scrape(sf_dir: str):
     from gumbo_pp_ray.stages.table_query import TableScrapeQuery
     from gumbo_pp_ray.state.sizing import default_pool_size
@@ -326,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,        # rows-only (stub decode)
         "table_scrape": _q_table_scrape,
         "extract_totals": _q_extract_totals,
+        "vocab_size": _q_vocab_size,
+        "vocab_size_hll": _q_vocab_size_hll,    # rows-only (sketch)
     }
 
 
@@ -505,5 +517,11 @@ def oracle_sql() -> dict[str, str]:
                    3 * count(*) AS n_spans,
                    CAST(0 AS BIGINT) AS n_parse_errors
             FROM documents
+        """,
+        "vocab_size": r"""
+            SELECT CAST(count(DISTINCT t.tok) AS BIGINT)
+                     AS n_distinct_tokens
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
         """,
     }

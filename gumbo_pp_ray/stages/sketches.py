@@ -1,0 +1,137 @@
+"""Mergeable sketches — distributed approximate aggregates.
+
+HyperLogLog distinct counting (Flajolet et al.'s public HLL algorithm
+with the standard small-range linear-counting correction): each batch
+emits ONE 2^p-byte register blob; blobs merge by elementwise max — the
+canonical "emit one serialized sketch per batch, merge in a second,
+tiny stage" shape (ray_guide: aggregation at scale). The merge moves
+kilobytes regardless of corpus size.
+
+The exact counterpart (``exact_distinct_tokens``) shuffles distinct
+tokens — correct at any scale but exchange cost grows with vocabulary;
+it is the verification oracle for the sketch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class HllSketch:
+    """Dense HyperLogLog, p bits of bucket index (m = 2^p registers).
+
+    Hash = blake2b-64 — process-stable AND uniform in every bit
+    (CRC32 composition was measured to bias the leading-zero rank
+    statistic by +24% at n=5k; cryptographic hashes don't).
+    """
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    @staticmethod
+    def _hash64(items: list[str]) -> np.ndarray:
+        from hashlib import blake2b
+        out = np.empty(len(items), dtype=np.uint64)
+        for i, s in enumerate(items):
+            out[i] = int.from_bytes(
+                blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+        return out
+
+    def add_batch(self, items: list[str]):
+        if not items:
+            return
+        h = self._hash64(items)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1
+        ranks = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        rest_work = rest.copy()
+        rank = 1
+        alive = np.ones(len(h), dtype=bool)
+        while alive.any() and rank <= 64 - self.p + 1:
+            top = (rest_work & mask) != 0
+            newly = alive & top
+            ranks[newly] = rank
+            alive &= ~top
+            rest_work = rest_work << np.uint64(1)
+            rank += 1
+        np.maximum.at(self.registers, idx, ranks)
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert self.p == other.p
+        return HllSketch(self.p, np.maximum(self.registers,
+                                            other.registers))
+
+    def estimate(self) -> float:
+        m = self.m
+        regs = self.registers.astype(np.float64)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-regs))
+        if e <= 2.5 * m:                        # small-range correction
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, p: int, blob: bytes) -> "HllSketch":
+        return cls(p, np.frombuffer(blob, dtype=np.uint8).copy())
+
+
+def _batch_token_sketch(batch: pa.Table, *, p: int) -> pa.Table:
+    sk = HllSketch(p)
+    toks = set()
+    for t in batch.column("text").to_pylist():
+        toks.update(t.split())
+    sk.add_batch(list(toks))
+    return pa.table({"registers": pa.array([sk.to_bytes()], pa.binary())})
+
+
+def _merge_sketches(batch: pa.Table, *, p: int) -> pa.Table:
+    sk = HllSketch(p)
+    for blob in batch.column("registers").to_pylist():
+        sk = sk.merge(HllSketch.from_bytes(p, blob))
+    return pa.table({
+        "n_distinct_tokens_est": pa.array([int(round(sk.estimate()))],
+                                          pa.int64())})
+
+
+def hll_distinct_tokens(ds, *, p: int = 12):
+    """Approximate distinct whitespace-token count over a documents
+    Dataset → one row (n_distinct_tokens_est). One blob per batch,
+    merged in a single tiny task."""
+    import functools
+    blobs = ds.map_batches(functools.partial(_batch_token_sketch, p=p),
+                           batch_format="pyarrow")
+    return blobs.repartition(1).map_batches(
+        functools.partial(_merge_sketches, p=p),
+        batch_format="pyarrow", batch_size=None)
+
+
+def _batch_distinct_tokens(batch: pa.Table) -> pa.Table:
+    toks = set()
+    for t in batch.column("text").to_pylist():
+        toks.update(t.split())
+    return pa.table({"tok": pa.array(sorted(toks), pa.string())})
+
+
+def exact_distinct_tokens(ds):
+    """Exact distinct token count → one row (n_distinct_tokens).
+    Batch-local dedup first (the combiner), then a groupby shuffle of
+    the surviving distinct tokens only."""
+    toks = ds.map_batches(_batch_distinct_tokens, batch_format="pyarrow")
+    # NOTE: aggregate(Count()) over a groupby().count() result collides
+    # with its existing "count()" column in this Ray version (returns
+    # 0) — Dataset.count() avoids the name clash.
+    n = toks.groupby("tok").count().count()
+    return pa.table({"n_distinct_tokens": pa.array([int(n)], pa.int64())})
