@@ -265,6 +265,36 @@ def _q_media_decode(sf_dir: str):
                                "width", "height", "n_frames"])
 
 
+def _q_pdf_layout(sf_dir: str):
+    """PDF/layout plumbing: deterministic fake payloads per doc →
+    stubbed layout parse → reading-order span reconstruction
+    (rows-only: the decode is a stub; the plumbing + ordering logic is
+    what runs)."""
+    import pyarrow as pa_
+    from gumbo_pp_ray.stages.pdf import PdfParse, layout_to_spans
+    from gumbo_pp_ray.state.sizing import default_pool_size
+
+    def payloads(batch):
+        ids = [str(i) for i in batch.column("doc_id").to_pylist()]
+        import hashlib
+        return pa_.table({
+            "doc_id": pa_.array(ids, pa_.string()),
+            "payload": pa_.array(
+                [hashlib.md5(i.encode()).digest() * 8 for i in ids],
+                pa_.binary()),
+        })
+
+    ds = _docs(sf_dir, ("doc_id",)).map_batches(payloads,
+                                                batch_format="pyarrow")
+    out = (ds.map_batches(PdfParse,
+                          fn_constructor_kwargs={"parser": "fake"},
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=default_pool_size())
+             .map_batches(layout_to_spans, batch_format="pyarrow"))
+    from gumbo_pp_ray.stages.explode import explode_spans
+    return out.map_batches(explode_spans, batch_format="pyarrow")
+
+
 def _q_vocab_size(sf_dir: str):
     from gumbo_pp_ray.stages.sketches import exact_distinct_tokens
     return exact_distinct_tokens(_docs(sf_dir, ("doc_id", "text")))
@@ -338,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_totals": _q_extract_totals,
         "vocab_size": _q_vocab_size,
         "vocab_size_hll": _q_vocab_size_hll,    # rows-only (sketch)
+        "pdf_layout": _q_pdf_layout,            # rows-only (stub decode)
     }
 
 

@@ -252,3 +252,42 @@ def scrape_table(doc: Node, scope: "match.Selector" = None,
         if cells:
             rows.append(cells)
     return rows
+
+
+def prune_link_runs(spans, *, min_links: int = 3, max_text_len: int = 30):
+    """DOM-heuristic boilerplate pruning over an extracted span
+    sequence (public Boilerpipe-family link-density idea: navigation
+    regions are runs of links with little surrounding prose).
+
+    Drops every maximal run of consecutive spans in which each span is
+    either a ``link`` or a short text (< ``max_text_len`` chars), when
+    the run contains at least ``min_links`` links. Long prose, isolated
+    inline links and media are untouched. Offsets are renumbered.
+
+    This is OPTIONAL post-processing (engine addition, not reference
+    behavior) — apply via ``extract_spans(...)`` output or the
+    ``prune_links`` pipeline flag.
+    """
+    def run_member(s):
+        return s[0] == "link" or (s[0] == "text"
+                                  and len(s[1]) < max_text_len)
+
+    out = []
+    i = 0
+    n = len(spans)
+    while i < n:
+        if not run_member(spans[i]):
+            out.append(spans[i])
+            i += 1
+            continue
+        j = i
+        links = 0
+        while j < n and run_member(spans[j]):
+            links += spans[j][0] == "link"
+            j += 1
+        if links >= min_links:
+            i = j                       # drop the nav-like run
+        else:
+            out.extend(spans[i:j])
+            i = j
+    return [(k, t, m, x) for x, (k, t, m, _o) in enumerate(out)]

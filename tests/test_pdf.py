@@ -1,0 +1,90 @@
+"""PDF/layout plumbing tests: stub decode determinism, reading-order
+reconstruction (incl. two-column pages), Ray pipeline shape."""
+
+import pyarrow as pa
+import pytest
+
+from gumbo_pp_ray.stages.pdf import PdfParse, layout_to_spans
+
+
+def payload_tbl():
+    return pa.table({
+        "doc_id": pa.array(["p1", "p2"], pa.string()),
+        "payload": pa.array([b"fake-pdf-bytes-1", b"fake-pdf-bytes-2"],
+                            pa.binary()),
+    })
+
+
+def test_fake_parse_deterministic():
+    p = PdfParse(parser="fake")
+    a = p(payload_tbl()).to_pylist()
+    b = p(payload_tbl()).to_pylist()
+    assert a == b and len(a) > 0
+    assert {r["doc_id"] for r in a} == {"p1", "p2"}
+    cols = set(a[0].keys())
+    assert {"page", "block_idx", "text", "x0", "y0", "x1", "y1"} <= cols
+
+
+def test_real_parser_raises():
+    with pytest.raises(NotImplementedError):
+        PdfParse(parser="real")
+    with pytest.raises(ValueError):
+        PdfParse(parser="nope")
+
+
+def test_reading_order_two_columns():
+    # page with two columns: reading order = row by row, left then right
+    rows = []
+    for b, (x, y, txt) in enumerate([
+            (72.0, 700.0, "L1"), (306.0, 701.0, "R1"),
+            (72.0, 600.0, "L2"), (306.0, 599.0, "R2")]):
+        rows.append({"doc_id": "d", "page": 0, "block_idx": b,
+                     "text": txt, "x0": x, "y0": y,
+                     "x1": x + 200, "y1": y + 60})
+    batch = pa.Table.from_pylist(rows)
+    out = layout_to_spans(batch).to_pylist()
+    assert [s["text"] for s in out[0]["spans"]] == ["L1", "R1", "L2", "R2"]
+    assert [s["offset"] for s in out[0]["spans"]] == [0, 1, 2, 3]
+
+
+def test_reading_order_pages_sorted():
+    rows = [
+        {"doc_id": "d", "page": 1, "block_idx": 0, "text": "second",
+         "x0": 72.0, "y0": 700.0, "x1": 272.0, "y1": 760.0},
+        {"doc_id": "d", "page": 0, "block_idx": 0, "text": "first",
+         "x0": 72.0, "y0": 100.0, "x1": 272.0, "y1": 160.0},
+    ]
+    out = layout_to_spans(pa.Table.from_pylist(rows)).to_pylist()
+    assert [s["text"] for s in out[0]["spans"]] == ["first", "second"]
+
+
+def test_pdf_pipeline_over_ray(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(payload_tbl())
+    out = (ds.map_batches(PdfParse, fn_constructor_kwargs={"parser": "fake"},
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=2)
+             .map_batches(layout_to_spans, batch_format="pyarrow"))
+    rows = out.take_all()
+    ids = {r["doc_id"] for r in rows}
+    assert ids == {"p1", "p2"}
+    for r in rows:
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == list(range(len(offs)))
+
+
+def test_prune_link_runs():
+    from gumbo_pp_ray.html.extract import prune_link_runs
+    nav = [("link", f"item{i}", f"/{i}", i) for i in range(4)]
+    prose = [("text", "a genuinely long paragraph of real prose", "", 4),
+             ("link", "ref", "/r", 5),
+             ("text", "and more genuinely long prose follows here", "", 6)]
+    out = prune_link_runs(nav + prose)
+    assert [s[1] for s in out] == [
+        "a genuinely long paragraph of real prose", "ref",
+        "and more genuinely long prose follows here"]
+    assert [s[3] for s in out] == [0, 1, 2]
+    # below min_links: kept
+    assert prune_link_runs(nav[:2]) == [(k, t, m, i) for i, (k, t, m, _x)
+                                        in enumerate(nav[:2])]
+    assert prune_link_runs([]) == []
