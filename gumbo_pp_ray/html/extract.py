@@ -106,14 +106,17 @@ class ExtractProfile:
     """
 
     __slots__ = ("strip_tags", "ad_tokens", "normalize_ws",
-                 "emit_links", "kind_by_tag")
+                 "emit_links", "kind_by_tag", "prune_links")
 
     def __init__(self, strip_tags=STRIP_TAGS, ad_tokens=AD_TOKENS,
-                 normalize_ws=True, emit_links=True):
+                 normalize_ws=True, emit_links=True, prune_links=False):
         self.strip_tags = frozenset(strip_tags)
         self.ad_tokens = frozenset(ad_tokens)
         self.normalize_ws = normalize_ws
         self.emit_links = emit_links
+        # optional link-density DOM heuristic (prune_link_runs) applied
+        # to the emitted span sequence — engine addition, off by default
+        self.prune_links = prune_links
         self.kind_by_tag = dict(_KIND_BY_TAG)
 
     def is_stripped(self, el: Node) -> bool:
@@ -216,6 +219,8 @@ def extract_spans(doc: Node, profile: ExtractProfile = DEFAULT_PROFILE):
         stack.extend(("n", c) for c in reversed(node.children))
 
     flush(kind_stack[-1])
+    if profile.prune_links:
+        return prune_link_runs(spans)
     return spans
 
 
