@@ -116,7 +116,19 @@ def run_extraction(
     resume: bool = True,
     max_doc_bytes: int | None = 256 * 1024 * 1024,
 ) -> dict:
-    """Checkpoint-resumable extraction job. Returns run summary."""
+    """Checkpoint-resumable extraction job. Returns run summary.
+
+    Pool default differs from extract_dataset's: a multi-WAVE job
+    creates one actor pool per wave, and back-to-back creation/teardown
+    of maximum-size fixed pools stalls the raylet (Ray Data waits for
+    every actor of a fixed pool before processing; measured 16s/wave
+    stalls at pool=30 vs 3s at pool<=16). Waves therefore default to an
+    autoscaling pool with a fast-start minimum: (min(8, n), n).
+    """
+    if concurrency is None:
+        from ..state.sizing import default_pool_size
+        n = default_pool_size()
+        concurrency = (min(8, n), n)
     files = list_input_files(input_path)
     if not files:
         raise FileNotFoundError(f"no input shards under {input_path}")
@@ -147,26 +159,35 @@ def run_extraction(
                               batch_size=batch_size,
                               max_doc_bytes=max_doc_bytes)
         tmp_dir = os.path.join(out_dir, f"_tmp-{name}")
-        if os.path.isdir(tmp_dir):          # stale partial write
-            import shutil
-            shutil.rmtree(tmp_dir)
-        out = out.materialize()
-        # quarantine split: error/oversize rows go to a sidecar dir,
-        # clean rows to the wave output (out is materialized — the
-        # filters do not re-run extraction)
-        bad = out.filter(expr="status != 'ok'")
-        n_err = bad.count()
-        if n_err:
-            qdir = os.path.join(out_dir, "_quarantine", name)
-            shutil_rmtree(qdir)
-            bad.write_parquet(qdir)
-            out = out.filter(expr="status == 'ok'")
+        shutil_rmtree(tmp_dir)              # stale partial write
+        # ONE fully-streamed pass: extract → write (the executor
+        # pipelines read/parse/write; materializing here would serialize
+        # the phases and hold the whole wave in the object store —
+        # measured 3x slower end-to-end).
         out.write_parquet(tmp_dir)
-        stats = out.aggregate(
+        # post-write accounting from the WRITTEN files: a narrow
+        # column-pruned read of the counters, no re-extraction
+        written = ray.data.read_parquet(
+            tmp_dir, columns=["status", "n_spans", "n_parse_errors"])
+        # counters over ok rows (error rows carry sentinel -1s);
+        # count over everything
+        stats = written.filter(expr="status == 'ok'").aggregate(
             ray.data.aggregate.Count(),
             ray.data.aggregate.Sum("n_spans", alias_name="spans"),
             ray.data.aggregate.Sum("n_parse_errors", alias_name="perr"),
         )
+        n_err = written.count() - int(stats["count()"] or 0)
+        if n_err:
+            # rare path: split the written wave into clean + quarantine
+            qdir = os.path.join(out_dir, "_quarantine", name)
+            shutil_rmtree(qdir)
+            full = ray.data.read_parquet(tmp_dir)
+            full.filter(expr="status != 'ok'").write_parquet(qdir)
+            clean_dir = tmp_dir + "-clean"
+            shutil_rmtree(clean_dir)
+            full.filter(expr="status == 'ok'").write_parquet(clean_dir)
+            shutil_rmtree(tmp_dir)
+            tmp_dir = clean_dir
         os.replace(tmp_dir, final_dir)      # atomic commit of the wave
         manifest = {
             "wave": name,
