@@ -265,6 +265,22 @@ def _q_media_decode(sf_dir: str):
                                "width", "height", "n_frames"])
 
 
+def _events(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id", "ts"])
+
+
+def _q_tumbling_counts(sf_dir: str):
+    from gumbo_pp_ray.stages.windows import tumbling_counts
+    return tumbling_counts(_events(sf_dir), window_sec=86400)
+
+
+def _q_session_windows(sf_dir: str):
+    from gumbo_pp_ray.stages.windows import session_windows
+    return session_windows(_events(sf_dir), gap_sec=1800)
+
+
 def _q_pdf_layout(sf_dir: str):
     """PDF/layout plumbing: deterministic fake payloads per doc →
     stubbed layout parse → reading-order span reconstruction
@@ -369,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_size": _q_vocab_size,
         "vocab_size_hll": _q_vocab_size_hll,    # rows-only (sketch)
         "pdf_layout": _q_pdf_layout,            # rows-only (stub decode)
+        "tumbling_counts": _q_tumbling_counts,
+        "session_windows": _q_session_windows,
     }
 
 
@@ -548,6 +566,28 @@ def oracle_sql() -> dict[str, str]:
                    3 * count(*) AS n_spans,
                    CAST(0 AS BIGINT) AS n_parse_errors
             FROM documents
+        """,
+        "tumbling_counts": """
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS window_id,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH marks AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            tagged AS (
+              SELECT user_id,
+                     CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM marks)
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM tagged GROUP BY 1, 2
         """,
         "vocab_size": r"""
             SELECT CAST(count(DISTINCT t.tok) AS BIGINT)

@@ -1,0 +1,63 @@
+"""Window operator tests: tumbling ids, session gap splits, ordering
+independence from block layout."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+
+from gumbo_pp_ray.stages.windows import (
+    add_tumbling_window, session_windows, tumbling_counts,
+)
+
+
+def ev(user, *minutes):
+    base = dt.datetime(2024, 1, 1)
+    return [{"user_id": user,
+             "ts": base + dt.timedelta(minutes=m)} for m in minutes]
+
+
+def to_table(rows):
+    df = pd.DataFrame(rows)
+    return pa.Table.from_pandas(df, preserve_index=False).set_column(
+        1, "ts", pa.Table.from_pandas(df).column("ts").cast(
+            pa.timestamp("us")))
+
+
+def test_add_tumbling_window_ids():
+    t = to_table(ev(1, 0, 59, 60, 61, 120))
+    out = add_tumbling_window(t, window_sec=3600)
+    assert out.column("window_id").to_pylist() == [
+        473352, 473352, 473353, 473353, 473354]  # hours since epoch
+
+
+def test_tumbling_counts_pipeline(ray_session):
+    import ray.data
+    t = to_table(ev(1, 0, 10, 70) + ev(2, 5))
+    out = tumbling_counts(ray.data.from_arrow(t), window_sec=3600)
+    rows = {(r["user_id"], r["window_id"]): r["n_events"]
+            for r in out.take_all()}
+    assert rows == {(1, 473352): 2, (1, 473353): 1, (2, 473352): 1}
+
+
+def test_session_windows_gap_split(ray_session):
+    import ray.data
+    # user 1: events at 0,10,20 then a 60-min gap then 80,85
+    t = to_table(ev(1, 0, 10, 20, 80, 85) + ev(2, 0))
+    out = session_windows(ray.data.from_arrow(t), gap_sec=1800)
+    rows = {(r["user_id"], r["session_id"]): r["n_events"]
+            for r in out.take_all()}
+    assert rows == {(1, 0): 3, (1, 1): 2, (2, 0): 1}
+
+
+def test_session_windows_order_independent(ray_session):
+    import ray.data
+    # shuffled input blocks must not change sessionization (in-group
+    # sort owns the ordering)
+    rows = ev(1, 85, 0, 80, 20, 10)
+    t = to_table(rows)
+    out = session_windows(ray.data.from_arrow(t).random_shuffle(seed=3),
+                          gap_sec=1800)
+    got = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in out.take_all()}
+    assert got == {(1, 0): 3, (1, 1): 2}
