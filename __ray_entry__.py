@@ -265,6 +265,35 @@ def _q_media_decode(sf_dir: str):
                                "width", "height", "n_frames"])
 
 
+def _q_spans_by_lang(sf_dir: str):
+    """Hash-partitioned join (Dataset.join, Ray 2.49) of the extraction
+    output against document metadata, then a grouped aggregate:
+    per-language total extracted spans. The small-side-broadcast
+    alternative (state/broadcast.py) is the default for dimension-table
+    lookups; this exercises the shuffle join path."""
+    import ray.data
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+    from gumbo_pp_ray.pipelines.wrap import wrap_documents
+
+    docs = _docs(sf_dir)
+    ds = docs.map_batches(wrap_documents, batch_format="pyarrow")
+    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    left = out.select_columns(["doc_id", "n_spans"])
+    right = _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        lambda t: t.set_column(0, "doc_id",
+                               t.column("doc_id").cast("string")),
+        batch_format="pyarrow")
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
+    agg = joined.groupby("lang").aggregate(
+        ray.data.aggregate.Sum("n_spans", alias_name="total_spans"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.names.index("total_spans"), "total_spans",
+            t.column("total_spans").cast("int64")),
+        batch_format="pyarrow")
+
+
 def _events(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -387,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_layout": _q_pdf_layout,            # rows-only (stub decode)
         "tumbling_counts": _q_tumbling_counts,
         "session_windows": _q_session_windows,
+        "spans_by_lang": _q_spans_by_lang,
     }
 
 
@@ -566,6 +596,10 @@ def oracle_sql() -> dict[str, str]:
                    3 * count(*) AS n_spans,
                    CAST(0 AS BIGINT) AS n_parse_errors
             FROM documents
+        """,
+        "spans_by_lang": """
+            SELECT lang, CAST(3 * count(*) AS BIGINT) AS total_spans
+            FROM documents GROUP BY lang
         """,
         "tumbling_counts": """
             SELECT user_id,

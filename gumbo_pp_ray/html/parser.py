@@ -80,6 +80,9 @@ _CLOSED_BY = {
 # every tag that can trigger an implied end — gate for the close loop
 _ANY_CLOSER = frozenset().union(*_CLOSED_BY.values())
 
+# insertion points whose non-whitespace text gets foster-parented
+_TABLE_SCAFFOLD = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
+
 _START_TAG_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
     r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"
@@ -231,7 +234,29 @@ class _TreeBuilder:
             return
         if self.mode != _IN_BODY:
             self._ensure_body(start)
-        self._append(TextNode(TEXT, _decode(raw), start, end))
+        node = TextNode(TEXT, _decode(raw), start, end)
+        # foster parenting (HTML5 in-table text): non-whitespace text
+        # directly inside table scaffolding is re-parented BEFORE the
+        # table (gumbo does this; whitespace stays in the table)
+        if self.stack[-1].tag in _TABLE_SCAFFOLD:
+            self._foster_append(node)
+            self.parse_errors += 1
+        else:
+            self._append(node)
+
+    def _foster_append(self, node: Node):
+        for i in range(len(self.stack) - 1, 0, -1):
+            el = self.stack[i]
+            if el.tag == "table":
+                parent = el.parent
+                pos = el.index_within_parent
+                node.parent = parent
+                kids = parent._children
+                kids.insert(pos, node)
+                for j in range(pos, len(kids)):
+                    kids[j].index_within_parent = j
+                return
+        self._append(node)              # no open table: normal insert
 
     def start_tag(self, tag: str, attrs: dict, start: int, end: int,
                   self_closing: bool) -> Element:

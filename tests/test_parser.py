@@ -228,3 +228,21 @@ def test_garbage_bytes_never_raise():
                  "</" + "x" * 50, "<!['cdata'"):
         d = parse(blob)
         assert d.kind == DOCUMENT
+
+
+def test_foster_parenting_table_text():
+    # HTML5 in-table text: non-whitespace text inside table scaffolding
+    # is re-parented BEFORE the table (gumbo's tree construction does
+    # the same); whitespace stays inside the table
+    html = "<body>pre<table>oops<tr><td>x</td></tr></table>post</body>"
+    d = parse(html)
+    body = [n for n in walk(d) if n.tag == "body"][0]
+    kinds = [(c.tag or c.text) for c in body.children]
+    assert kinds == ["pre", "oops", "table", "post"]
+    assert [c.index_within_parent for c in body.children] == [0, 1, 2, 3]
+    from gumbo_pp_ray.html import content_text
+    assert content_text(d) == "preoopsxpost"
+    assert d.parse_errors >= 1
+
+    d2 = parse("<table> <tr><td>a</td></tr> </table>")
+    assert content_text(d2) == " a "        # whitespace not fostered
