@@ -66,7 +66,8 @@ def _sel(selector_builder):
     def run(sf_dir: str):
         from gumbo_pp_ray.stages.selector_query import SelectorQuery
         from gumbo_pp_ray.state.sizing import default_pool_size
-        return _docs(sf_dir).map_batches(
+        return _docs(sf_dir, ("doc_id", "text", "lang", "source",
+                              "n_chars")).map_batches(
             SelectorQuery,
             fn_constructor_kwargs={"selector": selector_builder()},
             batch_format="pyarrow", batch_size=256,
@@ -120,6 +121,19 @@ def _sel_content_contains():
 def _sel_id_prefix():
     from gumbo_pp_ray.html import match
     return match.attribute.value.starts_with("id", "doc-1")
+
+
+def _sel_attr_exists():
+    from gumbo_pp_ray.html import match
+    # M3 — presence of the conditional data-long attribute
+    return match.attribute.exists("data-long")
+
+
+def _sel_xor():
+    from gumbo_pp_ray.html import match
+    # C3 — odd-parity combinator over two independent predicates
+    return match.tag.DIV & (match.class_type.is_("en")
+                            ^ match.attribute.exists("data-long"))
 
 
 # --------------------------- training-data operators (dedup/analysis)
@@ -393,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sel_and_not": _sel(_sel_and_not),
         "sel_content_contains": _sel(_sel_content_contains),
         "sel_id_prefix": _sel(_sel_id_prefix),
+        "sel_attr_exists": _sel(_sel_attr_exists),
+        "sel_xor": _sel(_sel_xor),
         # training-data operators
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -471,6 +487,14 @@ def oracle_sql() -> dict[str, str]:
         "sel_id_prefix": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS match_text
             FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '1%'
+        """,
+        "sel_attr_exists": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS match_text
+            FROM documents WHERE n_chars > 300
+        """,
+        "sel_xor": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS match_text
+            FROM documents WHERE (lang = 'en') <> (n_chars > 300)
         """,
         "token_stats": r"""
             WITH t AS (

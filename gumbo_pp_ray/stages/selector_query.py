@@ -31,10 +31,14 @@ from ..html.text import content_text
 from ..html.walk import find_all, walk
 
 
-def selector_doc_html(doc_id, text, lang, source) -> str:
+def selector_doc_html(doc_id, text, lang, source, n_chars=None) -> str:
+    # data-long is present iff n_chars > 300 — gives presence-style
+    # matchers (attribute.exists, xor combinations) a selective,
+    # SQL-reproducible predicate
+    long_attr = " data-long=\"y\"" if (n_chars or 0) > 300 else ""
     return (f"<html><head><title>t</title></head><body>"
             f"<div id=\"doc-{doc_id}\" class=\"{lang}\" "
-            f"data-source=\"{source}\"><p>{text}</p></div>"
+            f"data-source=\"{source}\"{long_attr}><p>{text}</p></div>"
             f"<span id=\"lang-{doc_id}\" lang=\"{lang}-std\">{lang}</span>"
             f"</body></html>")
 
@@ -49,9 +53,13 @@ class SelectorQuery:
         texts = batch.column("text").to_pylist()
         langs = batch.column("lang").to_pylist()
         sources = batch.column("source").to_pylist()
+        if "n_chars" in batch.schema.names:
+            n_chars = batch.column("n_chars").to_pylist()
+        else:
+            n_chars = [None] * len(ids)
         out_ids, out_texts = [], []
-        for i, t, lg, src in zip(ids, texts, langs, sources):
-            doc = parse(selector_doc_html(i, t, lg, src))
+        for i, t, lg, src, nc in zip(ids, texts, langs, sources, n_chars):
+            doc = parse(selector_doc_html(i, t, lg, src, nc))
             for node in find_all(walk(doc), sel):
                 out_ids.append(str(i))
                 out_texts.append(content_text(node, normalize_ws=True,
