@@ -47,7 +47,8 @@ class ExtractSpans:
 
     def __init__(self, profile: ExtractProfile | None = None,
                  max_doc_bytes: int | None = 256 * 1024 * 1024,
-                 chunk_spans: int | None = None):
+                 chunk_spans: int | None = None,
+                 cache_size: int = 256):
         # once per actor: compiled strip set / kind dispatch
         self.profile = profile or DEFAULT_PROFILE
         # single-span payloads bypass the span-count splitter; this
@@ -63,6 +64,14 @@ class ExtractSpans:
         # splitter+groupby topology instead (extract_dataset
         # reassembly="shuffle").
         self.chunk_spans = chunk_spans
+        # exact-duplicate payload cache (web corpora repeat whole
+        # documents — mirrors, retries, boilerplate pages): payload
+        # md5 → extracted result, per actor, cleared when full.
+        # Deterministic extraction makes reuse safe; doc_id and
+        # counters stay per-row.
+        self._cache_size = max(0, cache_size)
+        self._cache: dict = {}
+        self.cache_hits = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         profile = self.profile
@@ -113,6 +122,26 @@ class ExtractSpans:
                 continue
             before = len(f_kind)
             try:
+                ckey = None
+                if self._cache_size:
+                    import hashlib
+                    h = hashlib.md5()
+                    for s in seg:
+                        h.update(s.encode("utf-8", "surrogatepass"))
+                    ckey = h.digest()
+                    hit = self._cache.get(ckey)
+                    if hit is not None:
+                        ck, ct, cm, errs = hit
+                        f_kind.extend(ck)
+                        f_text.extend(ct)
+                        f_ref.extend(cm)
+                        self.cache_hits += 1
+                        span_counts[i] = len(ck)
+                        statuses.append("ok")
+                        n_errs.append(errs)
+                        n_spans.append(len(ck))
+                        n_bytes.append(total_bytes)
+                        continue
                 errs = 0
                 step = chunk if (chunk and len(seg) > chunk) else len(seg) or 1
                 for j in range(0, len(seg), step):
@@ -127,6 +156,12 @@ class ExtractSpans:
                 statuses.append("ok")
                 n_errs.append(errs)
                 n_spans.append(count)
+                if ckey is not None and total_bytes < 1 << 20:
+                    if len(self._cache) >= self._cache_size:
+                        self._cache.clear()
+                    self._cache[ckey] = (tuple(f_kind[before:]),
+                                         tuple(f_text[before:]),
+                                         tuple(f_ref[before:]), errs)
             except Exception:           # poison row → quarantine, never raise
                 del f_kind[before:], f_text[before:], f_ref[before:]
                 span_counts[i] = 0

@@ -229,3 +229,25 @@ def test_run_extraction_quarantine(ray_session, tmp_path):
                   if not os.path.relpath(f, out).startswith("_")]
     good = ray.data.read_parquet(good_files)
     assert good.count() == 20 - s["errors"]
+
+
+def test_extractor_duplicate_payload_cache():
+    html = ("<html><body><article><h1>T</h1><p>" + "word " * 50 +
+            "</p></article></body></html>")
+    rows = [[{"kind": "text", "text": html, "media_ref": "", "offset": 0}]
+            ] * 50
+    t = pa.table({"doc_id": [f"d{i}" for i in range(50)],
+                  "spans": pa.array(rows, t_spans_type())})
+    cached = ExtractSpans(cache_size=256)
+    plain = ExtractSpans(cache_size=0)
+    a, b = cached(t), plain(t)
+    assert cached.cache_hits == 49 and plain.cache_hits == 0
+    assert a.column("spans").to_pylist() == b.column("spans").to_pylist()
+    assert a.column("n_parse_errors").to_pylist() == \
+        b.column("n_parse_errors").to_pylist()
+
+
+def t_spans_type():
+    return pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
