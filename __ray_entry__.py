@@ -354,6 +354,12 @@ def _q_pdf_layout(sf_dir: str):
     return out.map_batches(explode_spans, batch_format="pyarrow")
 
 
+def _q_frequent_tokens(sf_dir: str):
+    from gumbo_pp_ray.stages.text_analysis import frequent_tokens
+    return frequent_tokens(_docs(sf_dir, ("doc_id", "text")),
+                           min_count=500)
+
+
 def _q_vocab_size(sf_dir: str):
     from gumbo_pp_ray.stages.sketches import exact_distinct_tokens
     return exact_distinct_tokens(_docs(sf_dir, ("doc_id", "text")))
@@ -427,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,        # rows-only (stub decode)
         "table_scrape": _q_table_scrape,
         "extract_totals": _q_extract_totals,
+        "frequent_tokens": _q_frequent_tokens,
         "vocab_size": _q_vocab_size,
         "vocab_size_hll": _q_vocab_size_hll,    # rows-only (sketch)
         "pdf_layout": _q_pdf_layout,            # rows-only (stub decode)
@@ -646,6 +653,12 @@ def oracle_sql() -> dict[str, str]:
               FROM marks)
             SELECT user_id, session_id, count(*) AS n_events
             FROM tagged GROUP BY 1, 2
+        """,
+        "frequent_tokens": r"""
+            SELECT t.tok, CAST(count(*) AS BIGINT) AS n
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+            GROUP BY t.tok HAVING count(*) >= 500
         """,
         "vocab_size": r"""
             SELECT CAST(count(DISTINCT t.tok) AS BIGINT)

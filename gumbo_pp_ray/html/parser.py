@@ -17,10 +17,14 @@ observable behavior (its test documents + our conformance corpus):
 * character entities decoded in text and attribute values (as gumbo's
   tokenizer does), raw source slices recoverable via true offsets.
 
-Documented divergences from full HTML5 / gumbo: no foster parenting of
-non-whitespace table text, no adoption agency for mis-nested formatting
-elements (recovery is pop-to-match), ``</p>`` with no open ``p`` does
-not synthesize an empty ``p``. Each is counted as a parse error.
+Also implemented: foster parenting of non-whitespace in-table text
+(re-parented before the table) and a simplified adoption agency
+(active-formatting-elements list with table-boundary markers and
+reconstruction — the ``<b><i>x</b>y</i>`` family produces the
+spec/gumbo tree; the full furthest-block/Noah's-Ark machinery is not
+needed at this fidelity bar). Remaining documented divergence:
+``</p>`` with no open ``p`` does not synthesize an empty ``p``.
+Recoverable errors are counted.
 
 Designed for the hot path of a Ray actor pool: one module-level pass,
 no recursion, compiled regexes shared per process.
@@ -83,6 +87,16 @@ _ANY_CLOSER = frozenset().union(*_CLOSED_BY.values())
 # insertion points whose non-whitespace text gets foster-parented
 _TABLE_SCAFFOLD = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
 
+# formatting elements tracked by the active-formatting-elements list
+# (simplified adoption agency: reconstruction without the full Noah's
+# Ark / furthest-block machinery — handles the common
+# <b><i>x</b>y</i> class of mis-nesting like gumbo's tree builder)
+_FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split())
+# boundaries formatting must not leak across (spec: marker entries)
+_AFE_MARKERS = frozenset(("table", "td", "th", "caption"))
+_AFE_MARKER = object()
+
 _START_TAG_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
     r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"
@@ -141,7 +155,7 @@ def _parse_attrs(raw: str) -> dict:
 
 class _TreeBuilder:
     __slots__ = ("doc", "stack", "mode", "html", "head", "body",
-                 "parse_errors", "n")
+                 "parse_errors", "n", "afe", "afe_dirty")
 
     def __init__(self, source_len: int):
         self.doc = Document()
@@ -153,6 +167,57 @@ class _TreeBuilder:
         self.body = None
         self.parse_errors = 0
         self.n = source_len
+        # active formatting elements: [tag, attrs, element] entries
+        # plus _AFE_MARKER sentinels at table boundaries; afe_dirty is
+        # set when a formatting element leaves the stack while still
+        # listed — reconstruction only runs then (hot-path guard)
+        self.afe: list = []
+        self.afe_dirty = False
+
+    # -- active formatting elements (adoption-agency-lite) --
+
+    def _afe_remove(self, el):
+        for idx in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[idx]
+            if e is not _AFE_MARKER and e[2] is el:
+                del self.afe[idx]
+                return
+
+    def _afe_remove_tag(self, tag):
+        for idx in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[idx]
+            if e is not _AFE_MARKER and e[0] == tag:
+                del self.afe[idx]
+                return True
+        return False
+
+    def _afe_clear_to_marker(self):
+        while self.afe:
+            e = self.afe.pop()
+            if e is _AFE_MARKER:
+                return
+
+    def _reconstruct_afe(self, pos: int):
+        """Reopen formatting elements (after the last marker) whose
+        element is no longer on the stack — HTML5 'reconstruct the
+        active formatting elements' (simplified)."""
+        self.afe_dirty = False
+        if not self.afe:
+            return
+        start = 0
+        for idx in range(len(self.afe) - 1, -1, -1):
+            if self.afe[idx] is _AFE_MARKER:
+                start = idx + 1
+                break
+        on_stack = {id(x) for x in self.stack}
+        for idx in range(start, len(self.afe)):
+            entry = self.afe[idx]
+            if id(entry[2]) not in on_stack:
+                el = Element(entry[0], dict(entry[1]), pos, pos,
+                             implied=True)
+                self._push(el)
+                entry[2] = el
+                on_stack.add(id(el))
 
     # -- low-level insertion --
 
@@ -170,6 +235,8 @@ class _TreeBuilder:
     def _pop(self, pos: int, end: int | None = None):
         """Implied close of the top element at source position pos."""
         el = self.stack.pop()
+        if el.tag in _FORMATTING:
+            self.afe_dirty = True
         if el.end <= el.start_tag_end:      # not closed by a real end tag yet
             el.end_tag_start = pos
             el.end = end if end is not None else pos
@@ -242,6 +309,8 @@ class _TreeBuilder:
             self._foster_append(node)
             self.parse_errors += 1
         else:
+            if self.afe_dirty:
+                self._reconstruct_afe(start)
             self._append(node)
 
     def _foster_append(self, node: Node):
@@ -324,12 +393,21 @@ class _TreeBuilder:
                     self._pop(start)
                 else:
                     break
+        if tag in _FORMATTING:
+            if self.afe_dirty:
+                self._reconstruct_afe(start)
+            el = Element(tag, attrs, start, end)
+            self._push(el)
+            self.afe.append([tag, attrs, el])
+            return el
         el = Element(tag, attrs, start, end)
         if tag in VOID_ELEMENTS or self_closing:
             self._append(el)
             el.end_tag_start = el.end = end
         else:
             self._push(el)
+            if tag in _AFE_MARKERS:
+                self.afe.append(_AFE_MARKER)
         return el
 
     def end_tag(self, tag: str, start: int, end: int):
@@ -340,6 +418,28 @@ class _TreeBuilder:
             self.stack.pop()
             top.end_tag_start = start
             top.end = end
+            if tag in _FORMATTING:
+                self._afe_remove(top)
+            elif tag in _AFE_MARKERS:
+                self._afe_clear_to_marker()
+            return
+        if tag in _FORMATTING:
+            # element not at top: pop to it (popped formatting
+            # elements STAY in the afe list → reconstructed before the
+            # next insertion, HTML5 adoption-agency behavior for the
+            # <b><i>x</b>y</i> family); unmatched → drop afe entry only
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == tag:
+                    while len(self.stack) - 1 > i:
+                        self.parse_errors += 1
+                        self._pop(start)
+                    el = self.stack.pop()
+                    el.end_tag_start = start
+                    el.end = end
+                    self._afe_remove(el)
+                    return
+            self.parse_errors += 1
+            self._afe_remove_tag(tag)
             return
         if self.mode != _IN_BODY and tag in ("body", "html"):
             self._ensure_body(start)
@@ -364,6 +464,8 @@ class _TreeBuilder:
                 el = self.stack.pop()
                 el.end_tag_start = start
                 el.end = end
+                if el.tag in _AFE_MARKERS:
+                    self._afe_clear_to_marker()
                 if el is self.body or el is self.html:
                     # spec keeps body/html insertable after their end
                     # tag (after-body whitespace lands in body); record

@@ -186,3 +186,30 @@ def word_jaccard_vs_query(batch: pa.Table, *, query_tokens: frozenset
         "n_union": pa.array(n_union, pa.int64()),
         "jaccard_milli": pa.array(milli, pa.int64()),
     })
+
+
+def _partial_token_counts(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch token counts (one row per distinct token per
+    batch) — the pre-aggregation that keeps the groupby exchange
+    proportional to vocabulary, not corpus size."""
+    from collections import Counter
+    c = Counter()
+    for t in batch.column("text").to_pylist():
+        c.update(t.split())
+    return pa.table({
+        "tok": pa.array(list(c.keys()), pa.string()),
+        "partial": pa.array(list(c.values()), pa.int64()),
+    })
+
+
+def frequent_tokens(ds, *, min_count: int = 100):
+    """Heavy hitters: tokens appearing at least ``min_count`` times
+    corpus-wide → (tok, n). map_batches combiner → groupby(tok) sum →
+    threshold filter (a threshold, not top-k, so the result set is
+    deterministic under count ties)."""
+    import ray.data
+    partials = ds.map_batches(_partial_token_counts,
+                              batch_format="pyarrow")
+    totals = partials.groupby("tok").aggregate(
+        ray.data.aggregate.Sum("partial", alias_name="n"))
+    return totals.filter(expr=f"n >= {int(min_count)}")

@@ -246,3 +246,41 @@ def test_foster_parenting_table_text():
 
     d2 = parse("<table> <tr><td>a</td></tr> </table>")
     assert content_text(d2) == " a "        # whitespace not fostered
+
+
+def test_adoption_agency_misnested_formatting():
+    # <p><b>1<i>2</b>3</i>4</p> → b{1, i{2}}, i{3}, "4" — the HTML5
+    # adoption-agency result (browsers/gumbo agree); "3" stays italic,
+    # not bold
+    d = parse("<p><b>1<i>2</b>3</i>4</p>")
+    p = [n for n in walk(d) if n.tag == "p"][0]
+    kids = [(c.tag if c.kind == ELEMENT else c.text) for c in p.children]
+    assert kids == ["b", "i", "4"]
+    i_els = [n for n in walk(d) if n.tag == "i"]
+    assert len(i_els) == 2
+    from gumbo_pp_ray.html import content_text
+    assert [content_text(i) for i in i_els] == ["2", "3"]
+    assert content_text(d) == "1234"
+
+
+def test_formatting_reconstructed_across_blocks():
+    # spec: <p><b>x</p><p>y</p> renders y bold (active formatting
+    # elements reconstructed in the next block)
+    from gumbo_pp_ray.html import content_text
+    d = parse("<p><b>x</p><p>y</p>")
+    bs = [n for n in walk(d) if n.tag == "b"]
+    assert [content_text(b) for b in bs] == ["x", "y"]
+    assert bs[1].implied
+
+
+def test_formatting_does_not_leak_into_tables():
+    d = parse("<b>x<table><tr><td>cell</td></tr></table></b>")
+    td = [n for n in walk(d) if n.tag == "td"][0]
+    assert [c.tag for c in td.children if c.kind == ELEMENT] == []
+
+
+def test_stray_formatting_end_tag_ignored():
+    d = parse("<p>a</b>b</p>")
+    assert d.parse_errors >= 1
+    from gumbo_pp_ray.html import content_text
+    assert content_text(d) == "ab"
