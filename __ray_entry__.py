@@ -324,6 +324,17 @@ def _q_session_windows(sf_dir: str):
     return session_windows(_events(sf_dir), gap_sec=1800)
 
 
+def _q_asof_orders(sf_dir: str):
+    import ray.data
+    from gumbo_pp_ray.stages.asof import asof_join_events_orders
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    od = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+    return asof_join_events_orders(ev, od)
+
+
 def _q_pdf_layout(sf_dir: str):
     """PDF/layout plumbing: deterministic fake payloads per doc →
     stubbed layout parse → reading-order span reconstruction
@@ -440,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_counts": _q_tumbling_counts,
         "session_windows": _q_session_windows,
         "spans_by_lang": _q_spans_by_lang,
+        "asof_orders": _q_asof_orders,
     }
 
 
@@ -631,6 +643,13 @@ def oracle_sql() -> dict[str, str]:
         "spans_by_lang": """
             SELECT lang, CAST(3 * count(*) AS BIGINT) AS total_spans
             FROM documents GROUP BY lang
+        """,
+        "asof_orders": """
+            SELECT e.event_id, e.user_id, x.o_orderkey
+            FROM events e, LATERAL (
+              SELECT o.o_orderkey FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) x
         """,
         "tumbling_counts": """
             SELECT user_id,

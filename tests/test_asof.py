@@ -1,0 +1,68 @@
+"""As-of join tests with genuinely interleaved timestamps (the
+testdata's orders all precede its events, so the real point-in-time
+semantics are pinned here)."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+
+from gumbo_pp_ray.stages.asof import asof_join_events_orders
+
+
+def _ts(*args):
+    return dt.datetime(2024, 1, *args)
+
+
+def make_tables():
+    events = pd.DataFrame([
+        {"event_id": 1, "user_id": 7, "ts": _ts(10)},
+        {"event_id": 2, "user_id": 7, "ts": _ts(20)},
+        {"event_id": 3, "user_id": 8, "ts": _ts(5)},
+        {"event_id": 4, "user_id": 9, "ts": _ts(2)},   # before any order
+    ])
+    orders = pd.DataFrame([
+        {"o_orderkey": 100, "o_custkey": 7, "o_orderdate": _ts(5)},
+        {"o_orderkey": 101, "o_custkey": 7, "o_orderdate": _ts(15)},
+        {"o_orderkey": 102, "o_custkey": 8, "o_orderdate": _ts(5)},   # same ts as event
+        {"o_orderkey": 103, "o_custkey": 8, "o_orderdate": _ts(5)},   # tie → max key
+        {"o_orderkey": 104, "o_custkey": 9, "o_orderdate": _ts(9)},
+    ])
+    def t(df):
+        tb = pa.Table.from_pandas(df, preserve_index=False)
+        for c in tb.schema.names:
+            if tb.schema.field(c).type == pa.timestamp("ns"):
+                tb = tb.set_column(tb.schema.names.index(c), c,
+                                   tb.column(c).cast(pa.timestamp("us")))
+        return tb
+    return t(events), t(orders)
+
+
+def test_asof_semantics(ray_session):
+    import ray.data
+    ev, od = make_tables()
+    out = asof_join_events_orders(ray.data.from_arrow(ev),
+                                  ray.data.from_arrow(od),
+                                  num_buckets=4).take_all()
+    got = {r["event_id"]: r["o_orderkey"] for r in out}
+    assert got == {
+        1: 100,      # latest order at/before Jan 10 for user 7
+        2: 101,      # Jan 15 order precedes Jan 20 event
+        3: 103,      # equal-timestamp tie → highest orderkey
+        # event 4 has no prior order → dropped (inner as-of)
+    }
+    assert all(r["user_id"] in (7, 8) for r in out)
+
+
+def test_asof_bucketing_spans_keys(ray_session):
+    # many keys per bucket; results must not depend on bucket count
+    import ray.data
+    ev, od = make_tables()
+    a = asof_join_events_orders(ray.data.from_arrow(ev),
+                                ray.data.from_arrow(od),
+                                num_buckets=1).take_all()
+    b = asof_join_events_orders(ray.data.from_arrow(ev),
+                                ray.data.from_arrow(od),
+                                num_buckets=16).take_all()
+    key = lambda r: (r["event_id"], r["o_orderkey"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
