@@ -324,6 +324,31 @@ def _q_session_windows(sf_dir: str):
     return session_windows(_events(sf_dir), gap_sec=1800)
 
 
+def _q_events_by_segment(sf_dir: str):
+    """Broadcast dimension lookup (customer → mktsegment, ray.put once,
+    read per actor) + grouped count — the no-shuffle join strategy for
+    small sides."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from gumbo_pp_ray.stages.lookup import BroadcastLookup, broadcast_dim
+    from gumbo_pp_ray.state.sizing import default_pool_size
+
+    dim = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_mktsegment"])
+    ref = broadcast_dim(dim, "c_custkey", "c_mktsegment")
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id"])
+    tagged = ev.map_batches(
+        BroadcastLookup,
+        fn_constructor_kwargs={"dim_ref": ref, "fk_col": "user_id",
+                               "out_col": "segment"},
+        batch_format="pyarrow", concurrency=default_pool_size())
+    out = tagged.groupby("segment").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["segment", "n_events"]),
+        batch_format="pyarrow")
+
+
 def _q_asof_orders(sf_dir: str):
     import ray.data
     from gumbo_pp_ray.stages.asof import asof_join_events_orders
@@ -452,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "spans_by_lang": _q_spans_by_lang,
         "asof_orders": _q_asof_orders,
+        "events_by_segment": _q_events_by_segment,
     }
 
 
@@ -643,6 +669,11 @@ def oracle_sql() -> dict[str, str]:
         "spans_by_lang": """
             SELECT lang, CAST(3 * count(*) AS BIGINT) AS total_spans
             FROM documents GROUP BY lang
+        """,
+        "events_by_segment": """
+            SELECT c.c_mktsegment AS segment, count(*) AS n_events
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1
         """,
         "asof_orders": """
             SELECT e.event_id, e.user_id, x.o_orderkey

@@ -251,3 +251,24 @@ def t_spans_type():
     return pa.list_(pa.struct([
         ("kind", pa.string()), ("text", pa.string()),
         ("media_ref", pa.string()), ("offset", pa.int32())]))
+
+
+def test_broadcast_lookup_stage(ray_session):
+    import numpy as np
+    import ray.data
+    from gumbo_pp_ray.stages.lookup import BroadcastLookup, broadcast_dim
+
+    dim = pa.table({"k": pa.array([5, 1, 9], pa.int64()),
+                    "v": ["five", "one", "nine"]})
+    ref = broadcast_dim(dim, "k", "v")
+    facts = pa.table({"event_id": [1, 2, 3, 4],
+                      "user_id": pa.array([1, 9, 5, 42], pa.int64())})
+    out = (ray.data.from_arrow(facts)
+           .map_batches(BroadcastLookup,
+                        fn_constructor_kwargs={
+                            "dim_ref": ref, "fk_col": "user_id",
+                            "out_col": "name", "default": "?"},
+                        batch_format="pyarrow", concurrency=2)
+           .take_all())
+    got = {r["event_id"]: r["name"] for r in out}
+    assert got == {1: "one", 2: "nine", 3: "five", 4: "?"}
