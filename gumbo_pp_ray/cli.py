@@ -41,13 +41,19 @@ def cmd_extract(args) -> int:
     ray = _ensure_ray()
     from .pipelines.extract_pipeline import run_extraction
 
-    summary = run_extraction(
-        args.input, args.output,
-        split_threshold=args.split_threshold,
-        batch_size=args.batch_size,
-        files_per_wave=args.files_per_wave,
-        resume=not args.no_resume,
-    )
+    try:
+        summary = run_extraction(
+            args.input, args.output,
+            split_threshold=args.split_threshold,
+            batch_size=args.batch_size,
+            files_per_wave=args.files_per_wave,
+            resume=not args.no_resume,
+            max_doc_bytes=int(args.max_doc_mb * 1024 * 1024),
+        )
+    except FileNotFoundError as ex:
+        print(json.dumps({"error": str(ex)}), file=sys.stderr)
+        ray.shutdown()
+        return 2
     print(json.dumps(summary))
     ray.shutdown()
     return 0 if summary["errors"] == 0 else 2
@@ -98,6 +104,8 @@ def main(argv=None) -> int:
     pe.add_argument("--split-threshold", type=int, default=256)
     pe.add_argument("--batch-size", type=int, default=96)
     pe.add_argument("--files-per-wave", type=int, default=32)
+    pe.add_argument("--max-doc-mb", type=float, default=256.0,
+                    help="quarantine documents above this payload size")
     pe.add_argument("--no-resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)
 
