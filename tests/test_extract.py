@@ -163,3 +163,21 @@ def test_scrape_table_defaults_and_misses():
     # scope with no table inside
     doc = parse("<div id='x'>text</div><table><tr><td>y</td></tr></table>")
     assert scrape_table(doc, match.id.is_("x")) == []
+
+
+def test_default_strip_selector_algebra():
+    # the strip set expressed in the reference's selector algebra
+    # (SURVEY.md §2.4) agrees with the profile's is_stripped on the
+    # element classes it covers
+    from gumbo_pp_ray.html.extract import _default_strip_selector, DEFAULT_PROFILE
+    from gumbo_pp_ray.html import parse, walk
+    sel = _default_strip_selector()
+    d = parse("<nav>n</nav><script>s</script><div class='ad-banner'>a</div>"
+              "<p>keep</p><article>k</article>")
+    for n in walk(d):
+        if n.tag in ("nav", "script"):
+            assert sel(n) and DEFAULT_PROFILE.is_stripped(n)
+        if n.tag == "div":
+            assert sel(n) and DEFAULT_PROFILE.is_stripped(n)
+        if n.tag in ("p", "article"):
+            assert not sel(n) and not DEFAULT_PROFILE.is_stripped(n)
