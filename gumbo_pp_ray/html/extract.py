@@ -159,9 +159,14 @@ def extract_spans(doc: Node, profile: ExtractProfile = DEFAULT_PROFILE):
         txt = "".join(buf)
         buf.clear()
         if normalize:
-            # equivalent to collapsing \s+ runs + strip, ~3x faster
-            txt = " ".join(txt.split())
-        if txt:
+            if kind == "code":
+                # <pre>/code blocks keep internal layout (browsers
+                # preserve pre whitespace); only outer blank lines go
+                txt = txt.strip("\n").rstrip()
+            else:
+                # equivalent to collapsing \s+ runs + strip, ~3x faster
+                txt = " ".join(txt.split())
+        if txt and not (kind == "code" and not txt.strip()):
             spans.append((kind, txt, "", len(spans)))
 
     # kind context: innermost block kind being accumulated

@@ -181,3 +181,10 @@ def test_default_strip_selector_algebra():
             assert sel(n) and DEFAULT_PROFILE.is_stripped(n)
         if n.tag in ("p", "article"):
             assert not sel(n) and not DEFAULT_PROFILE.is_stripped(n)
+
+
+def test_pre_preserves_internal_whitespace():
+    s = spans_of("<pre>def f():\n    return 1\n</pre><p>a   b</p>")
+    assert s[0] == ("code", "def f():\n    return 1", "", 0)
+    assert s[1] == ("text", "a b", "", 1)   # prose still collapses
+    assert spans_of("<pre>   \n  </pre>") == []   # ws-only pre dropped

@@ -272,3 +272,25 @@ def test_broadcast_lookup_stage(ray_session):
            .take_all())
     got = {r["event_id"]: r["name"] for r in out}
     assert got == {1: "one", 2: "nine", 3: "five", 4: "?"}
+
+
+def test_custom_profile_ships_to_actors(ray_session):
+    # profile objects (slots classes) must survive pickling into the
+    # actor pool; prune_links + normalize off exercised end-to-end
+    import ray.data
+    from gumbo_pp_ray.html.extract import ExtractProfile
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+
+    html = ("<div><a href='/1'>A</a><a href='/2'>B</a><a href='/3'>C</a>"
+            "</div><p>real   prose stays with its   spacing</p>")
+    t = pa.table({"doc_id": ["x"],
+                  "spans": pa.array(
+                      [[{"kind": "text", "text": html, "media_ref": "",
+                         "offset": 0}]], t_spans_type())})
+    prof = ExtractProfile(normalize_ws=False, prune_links=True)
+    out = extract_dataset(ray.data.from_arrow(t), profile=prof,
+                          concurrency=1, batch_size=4).take_all()
+    spans = out[0]["spans"]
+    texts = [s["text"] for s in spans]
+    assert "real   prose stays with its   spacing" in texts  # raw ws kept
+    assert all("A" != s["text"] for s in spans)              # nav run pruned
