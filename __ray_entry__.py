@@ -390,6 +390,15 @@ def _q_pdf_layout(sf_dir: str):
     return out.map_batches(explode_spans, batch_format="pyarrow")
 
 
+def _q_sample_20pct(sf_dir: str):
+    """Deterministic hash sampling (reproducible splits): same keys on
+    every run/partitioning, no RNG state."""
+    import functools
+    from gumbo_pp_ray.stages.text_analysis import hash_sample
+    return _docs(sf_dir, ("doc_id",)).map_batches(
+        functools.partial(hash_sample, rate=0.2), batch_format="pyarrow")
+
+
 def _q_frequent_tokens(sf_dir: str):
     from gumbo_pp_ray.stages.text_analysis import frequent_tokens
     return frequent_tokens(_docs(sf_dir, ("doc_id", "text")),
@@ -469,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,        # rows-only (stub decode)
         "table_scrape": _q_table_scrape,
         "extract_totals": _q_extract_totals,
+        "sample_20pct": _q_sample_20pct,
         "frequent_tokens": _q_frequent_tokens,
         "vocab_size": _q_vocab_size,
         "vocab_size_hll": _q_vocab_size_hll,    # rows-only (sketch)
@@ -703,6 +713,11 @@ def oracle_sql() -> dict[str, str]:
               FROM marks)
             SELECT user_id, session_id, count(*) AS n_events
             FROM tagged GROUP BY 1, 2
+        """,
+        "sample_20pct": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '33333333'
         """,
         "frequent_tokens": r"""
             SELECT t.tok, CAST(count(*) AS BIGINT) AS n

@@ -213,3 +213,20 @@ def frequent_tokens(ds, *, min_count: int = 100):
     totals = partials.groupby("tok").aggregate(
         ray.data.aggregate.Sum("partial", alias_name="n"))
     return totals.filter(expr=f"n >= {int(min_count)}")
+
+
+def hash_sample(batch: pa.Table, *, rate: float, key_col: str = "doc_id",
+                salt: str = "42") -> pa.Table:
+    """Deterministic hash sampling: keep a row iff the first 8 hex
+    chars of md5(salt:key) fall below rate*16^8 — the standard
+    reproducible-split technique (same key → same side on every run,
+    any machine, any partitioning; no RNG state). Lowercase-hex string
+    comparison equals numeric comparison, so the oracle is a plain
+    SQL substr(md5(...)) < 'threshold' predicate.
+    """
+    import hashlib
+    threshold = format(int(rate * 16 ** 8), "08x")
+    keys = batch.column(key_col).to_pylist()
+    keep = [hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:8] < threshold
+            for k in keys]
+    return batch.filter(pa.array(keep, pa.bool_()))

@@ -67,3 +67,22 @@ def test_word_jaccard_vs_query():
     assert out[1] == {"doc_id": 1, "n_inter": 1, "n_union": 6,
                       "jaccard_milli": 166}
     assert out[2]["n_inter"] == 0
+
+
+def test_hash_sample_deterministic_and_partition_invariant():
+    import functools
+    from gumbo_pp_ray.stages.text_analysis import hash_sample
+    t = pa.table({"doc_id": list(range(1000)),
+                  "text": ["x"] * 1000})
+    s = functools.partial(hash_sample, rate=0.3)
+    full = set(s(t).column("doc_id").to_pylist())
+    # same keys regardless of batch boundaries
+    parts = set()
+    for lo in range(0, 1000, 137):
+        parts.update(s(t.slice(lo, 137)).column("doc_id").to_pylist())
+    assert parts == full
+    assert 0.2 < len(full) / 1000 < 0.4
+    # disjoint complement at a different salt is ~independent
+    other = set(hash_sample(t, rate=0.3, salt="7")
+                .column("doc_id").to_pylist())
+    assert other != full
