@@ -251,7 +251,14 @@ def _q_emb_neardup(sf_dir: str):
     corpus = {"ids": t.column("vec_id").to_pylist(),
               "matrix": np.asarray(t.column("embedding").to_pylist(),
                                    dtype=np.float64)}
-    return embedding_neardup_pairs(_emb(sf_dir), corpus, threshold=0.5)
+    ds = embedding_neardup_pairs(_emb(sf_dir), corpus, threshold=0.5)
+    # an all-empty Dataset loses its schema through to_pandas — return
+    # an explicitly-typed Arrow table (pair sets are tiny by nature)
+    rows = ds.take_all()
+    return pa.table({
+        "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),
+        "vec_b": pa.array([r["vec_b"] for r in rows], pa.int64()),
+    })
 
 
 def _q_media_refs(sf_dir: str):
