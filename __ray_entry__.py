@@ -261,6 +261,30 @@ def _q_emb_neardup(sf_dir: str):
     })
 
 
+def _q_page_metadata(sf_dir: str):
+    """Head-metadata extraction (title / meta description) over the
+    wrapped corpus — the content the span extractor strips."""
+    from gumbo_pp_ray.pipelines.wrap import wrap_documents
+    from gumbo_pp_ray.stages.assemble import assemble_payloads
+    from gumbo_pp_ray.html.extract import extract_metadata
+    from gumbo_pp_ray.html.parser import parse as _parse
+
+    def meta_batch(batch):
+        ids = batch.column("doc_id").to_pylist()
+        titles, descs = [], []
+        for html in assemble_payloads(batch):
+            m = extract_metadata(_parse(html))
+            titles.append(m["title"])
+            descs.append(m["description"])
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "title": pa.array(titles, pa.string()),
+                         "description": pa.array(descs, pa.string())})
+
+    return (_docs(sf_dir).map_batches(wrap_documents,
+                                      batch_format="pyarrow")
+                         .map_batches(meta_batch, batch_format="pyarrow"))
+
+
 def _q_media_refs(sf_dir: str):
     from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
     from gumbo_pp_ray.pipelines.wrap import wrap_documents
@@ -481,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,        # rows-only (approximate)
         "emb_neardup": _q_emb_neardup,
+        "page_metadata": _q_page_metadata,
         "media_refs": _q_media_refs,
         "media_decode": _q_media_decode,        # rows-only (stub decode)
         "table_scrape": _q_table_scrape,
@@ -656,6 +681,12 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(
                     CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) >= 0.5
+        """,
+        "page_metadata": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   source AS description
+            FROM documents
         """,
         "media_refs": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -301,3 +301,42 @@ def prune_link_runs(spans, *, min_links: int = 3, max_text_len: int = 30):
             out.extend(spans[i:j])
             i = j
     return [(k, t, m, x) for x, (k, t, m, _o) in enumerate(out)]
+
+
+def extract_metadata(doc: Node) -> dict:
+    """Page-metadata extraction (engine addition; the head content the
+    span extractor deliberately strips): title, meta description /
+    keywords, Open Graph properties, canonical link, html lang.
+
+    Selector-algebra driven (M13/M9/M7 kernels): first match wins for
+    title/canonical/lang; og: properties collect into a dict.
+    """
+    from .walk import walk
+    from .text import content_text
+
+    meta = {"title": "", "description": "", "keywords": "",
+            "canonical": "", "lang": "", "og": {}}
+    for n in walk(doc):
+        tag = n.tag
+        if tag == "html" and not meta["lang"]:
+            meta["lang"] = n.attr("lang", "")
+        elif tag == "title" and not meta["title"]:
+            meta["title"] = content_text(n, normalize_ws=True,
+                                         include_comments=False)
+        elif tag == "meta":
+            name = (n.attr("name") or "").lower()
+            prop = (n.attr("property") or "").lower()
+            content = n.attr("content", "")
+            if name == "description" and not meta["description"]:
+                meta["description"] = content
+            elif name == "keywords" and not meta["keywords"]:
+                meta["keywords"] = content
+            elif prop.startswith("og:"):
+                meta["og"].setdefault(prop[3:], content)
+        elif tag == "link":
+            rel = (n.attr("rel") or "").lower()
+            if rel == "canonical" and not meta["canonical"]:
+                meta["canonical"] = n.attr("href", "")
+        elif tag == "body":
+            break                       # metadata lives in head
+    return meta

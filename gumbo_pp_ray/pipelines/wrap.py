@@ -56,8 +56,9 @@ def wrap_documents(batch: pa.Table, *, chunk_words: int | None = None,
         sid = str(i)
         ref = f"img://doc/{sid}.jpg"
         spans = [
-            _span("text", f"<html><head><title>doc {sid}</title></head>"
-                          f"<body>{_NAV}"),
+            _span("text", f"<html><head><title>doc {sid}</title>"
+                          f"<meta name=\"description\" content=\"{src}\">"
+                          f"</head><body>{_NAV}"),
             _span("text", f"<h1>{src}</h1>"),
         ]
         if chunk_words:

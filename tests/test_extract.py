@@ -188,3 +188,20 @@ def test_pre_preserves_internal_whitespace():
     assert s[0] == ("code", "def f():\n    return 1", "", 0)
     assert s[1] == ("text", "a b", "", 1)   # prose still collapses
     assert spans_of("<pre>   \n  </pre>") == []   # ws-only pre dropped
+
+
+def test_extract_metadata():
+    from gumbo_pp_ray.html.extract import extract_metadata
+    from gumbo_pp_ray.html import parse
+    m = extract_metadata(parse(
+        '<html lang="fr"><head><title>T  One</title>'
+        '<meta name="description" content="D">'
+        '<meta name="keywords" content="k1,k2">'
+        '<meta property="og:title" content="OT">'
+        '<link rel="canonical" href="https://c/x"></head>'
+        '<body><title>ignored</title></body></html>'))
+    assert m == {"title": "T One", "description": "D",
+                 "keywords": "k1,k2", "canonical": "https://c/x",
+                 "lang": "fr", "og": {"title": "OT"}}
+    empty = extract_metadata(parse("<p>nothing</p>"))
+    assert empty["title"] == "" and empty["og"] == {}
