@@ -140,13 +140,18 @@ class MinHashSignatures:
         })
 
 
-def lsh_bands(batch: pa.Table, *, bands: int = 16, rows: int = 8
-              ) -> pa.Table:
-    """Explode signatures to (band_key, doc_id, signature) rows.
-    band_key = "band_id:md5(band values)" — the LSH bucket join key.
-    Stateless function stage (NOT an actor pool — stacking a second
-    fixed pool in the pipeline can reserve every CPU and starve the
-    shuffle; see state/sizing.py)."""
+def lsh_bands(batch: pa.Table, *, bands: int = 16, rows: int = 8,
+              carry_signature: bool = True) -> pa.Table:
+    """Explode signatures to LSH band rows; band_key =
+    "band_id:md5(band values)" — the bucket join key. Stateless
+    function stage (NOT an actor pool — stacking a second fixed pool
+    in the pipeline can reserve every CPU and starve the shuffle; see
+    state/sizing.py).
+
+    ``carry_signature=False`` emits only (band_key, doc_id) — the
+    scale shape: the exchange shrinks from ~bands x signature bytes
+    per doc (16 KB/doc at 128 perms) to ~16 B/doc, and signatures are
+    joined back over the (small) candidate set afterwards."""
     ids = batch.column("doc_id").to_pylist()
     sigs = batch.column("signature").to_pylist()
     out_key, out_id, out_sig = [], [], []
@@ -157,12 +162,33 @@ def lsh_bands(batch: pa.Table, *, bands: int = 16, rows: int = 8
                 np.asarray(chunk, dtype=np.int64).tobytes()).hexdigest()[:16]
             out_key.append(f"{b}:{h}")
             out_id.append(i)
-            out_sig.append(sig)
-    return pa.table({
+            if carry_signature:
+                out_sig.append(sig)
+    cols = {
         "band_key": pa.array(out_key, pa.string()),
         "doc_id": pa.array(out_id),
-        "signature": pa.array(out_sig, pa.list_(pa.int64())),
-    })
+    }
+    if carry_signature:
+        cols["signature"] = pa.array(out_sig, pa.list_(pa.int64()))
+    return pa.table(cols)
+
+
+def bucket_candidate_ids(group: pa.Table) -> pa.Table:
+    """Within one LSH bucket: all candidate id pairs (doc_a < doc_b),
+    no similarity yet — verification happens after the signatures are
+    joined back. Hot-bucket cap 256 (same policy as the carrying
+    variant)."""
+    ids = sorted(set(group.column("doc_id").to_pylist()))[:256]
+    if len(ids) < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    a_out, b_out = [], []
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                     "doc_b": pa.array(b_out, pa.int64())})
 
 
 def bucket_candidate_pairs(group: pa.Table, *, threshold: float = 0.5
@@ -211,20 +237,53 @@ def _dedupe_pairs_local(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _verify_pairs_with_sigs(pairs: pa.Table, sig_lookup: dict,
+                            threshold: float) -> pa.Table:
+    """Signature-estimated Jaccard for candidate pairs; keep ≥
+    threshold."""
+    a_ids = pairs.column("doc_a").to_pylist()
+    b_ids = pairs.column("doc_b").to_pylist()
+    a_out, b_out, j_out = [], [], []
+    for a, b in zip(a_ids, b_ids):
+        sa, sb = sig_lookup.get(a), sig_lookup.get(b)
+        if sa is None or sb is None:
+            continue
+        jv = float((sa == sb).mean())
+        if jv >= threshold:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(int(jv * 1000))
+    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                     "doc_b": pa.array(b_out, pa.int64()),
+                     "jaccard_est_milli": pa.array(j_out, pa.int64())})
+
+
 def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
                       shingle_words=3, threshold=0.5, seed=42,
-                      concurrency=None, pair_dedup="local"):
+                      concurrency=None, pair_dedup="local",
+                      band_exchange="ids"):
     """Full MinHash-LSH near-dup candidate pipeline over a documents
     Dataset → distinct (doc_a, doc_b, jaccard_est_milli).
 
+    ``band_exchange`` controls what the bucket shuffle moves:
+
+    * ``"ids"`` (default, the SCALE shape): band rows carry only
+      (band_key, doc_id) — ~16 B/doc exchanged instead of
+      bands x signature ≈ 16 KB/doc (a 1000x reduction; at 10^12 docs
+      the difference is petabytes). Candidate pairs come out id-only
+      and are verified afterwards against the signatures of the
+      candidate docs (semi-join: only candidates' signatures move).
+    * ``"signatures"`` — the band rows carry signatures and buckets
+      verify in place; avoids the second pass when candidate sets are
+      a large fraction of the corpus.
+
     ``pair_dedup``: a pair can surface from several bands. ``"local"``
-    (default) coalesces the candidate rows into one block and dedupes
-    with pandas — right when pairs are output-sized (near-dup rate a
-    few %; avoids a second sort shuffle, measured -3-4s fixed cost).
-    ``"shuffle"`` uses a groupby — right when the candidate set itself
-    is huge (boilerplate-heavy corpora at 10^12 scale).
+    (default) coalesces candidates into one block and dedupes with
+    pandas — right when pairs are output-sized; ``"shuffle"`` uses a
+    groupby for huge candidate sets.
     """
     import functools
+    import ray
     from ..state.sizing import default_pool_size
     if concurrency is None:
         concurrency = default_pool_size()
@@ -233,17 +292,58 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
         fn_constructor_kwargs={"num_perm": num_perm,
                                "shingle_words": shingle_words, "seed": seed},
         batch_format="pyarrow", concurrency=concurrency)
+    carry = band_exchange == "signatures"
+    if carry:
+        bandrows = sigs.map_batches(
+            functools.partial(lsh_bands, bands=bands, rows=rows),
+            batch_format="pyarrow")
+        pairs = bandrows.groupby("band_key").map_groups(
+            functools.partial(bucket_candidate_pairs, threshold=threshold),
+            batch_format="pyarrow")
+        if pair_dedup == "shuffle":
+            return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+                lambda g: g.slice(0, 1), batch_format="pyarrow")
+        return pairs.repartition(1).map_batches(
+            _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
+
+    # scale shape: id-only band rows; signatures materialized once and
+    # re-read for the candidate verification (semi-join by membership)
+    sigs = sigs.materialize()
     bandrows = sigs.map_batches(
-        functools.partial(lsh_bands, bands=bands, rows=rows),
+        functools.partial(lsh_bands, bands=bands, rows=rows,
+                          carry_signature=False),
         batch_format="pyarrow")
-    pairs = bandrows.groupby("band_key").map_groups(
-        functools.partial(bucket_candidate_pairs, threshold=threshold),
-        batch_format="pyarrow")
-    if pair_dedup == "shuffle":
-        return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow")
-    return pairs.repartition(1).map_batches(
+    cand = bandrows.groupby("band_key").map_groups(
+        bucket_candidate_ids, batch_format="pyarrow")
+    cand = cand.repartition(1).map_batches(
         _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
+    cand = cand.materialize()
+    cand_rows = cand.take_all()
+    if not cand_rows:
+        return cand.map_batches(
+            lambda t: t.append_column(
+                "jaccard_est_milli", pa.nulls(len(t), pa.int64())),
+            batch_format="pyarrow")
+    wanted = {r["doc_a"] for r in cand_rows} | {r["doc_b"] for r in cand_rows}
+    # membership semi-join: only the candidates' signatures leave the
+    # signature dataset (wanted is pair-set-sized)
+    wanted_ref = ray.put(frozenset(wanted))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        keep = [i in w for i in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    sig_rows = sigs.map_batches(pick, batch_format="pyarrow").take_all()
+    lookup = {r["doc_id"]: np.asarray(r["signature"], dtype=np.int64)
+              for r in sig_rows}
+    pairs_tbl = pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in cand_rows], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in cand_rows], pa.int64()),
+    })
+    verified = _verify_pairs_with_sigs(pairs_tbl, lookup, threshold)
+    import ray.data
+    return ray.data.from_arrow(verified)
 
 
 # ------------------------------------------------------------- SimHash

@@ -163,3 +163,22 @@ def test_simhash_neardup_pipeline(ray_session):
     for a, b in found:
         d = hamming64(SimHash.simhash64(texts[a]), SimHash.simhash64(texts[b]))
         assert d <= 3
+
+
+def test_minhash_band_exchange_modes_agree(ray_session, dup_corpus):
+    import ray.data
+    from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
+
+    table, planted = dup_corpus
+    def pairset(mode):
+        ds = ray.data.from_arrow(table)
+        return {(r["doc_a"], r["doc_b"], r["jaccard_est_milli"])
+                for r in minhash_lsh_pairs(ds, threshold=0.5,
+                                           concurrency=2,
+                                           band_exchange=mode).take_all()}
+    ids_mode = pairset("ids")
+    sig_mode = pairset("signatures")
+    assert ids_mode == sig_mode
+    found = {(a, b) for a, b, _ in ids_mode}
+    for p in planted:
+        assert p in found
