@@ -8,12 +8,15 @@ Scale shapes (ray_guide: aggregation at scale):
   ``groupby(hash)`` keep min(doc_id). The exchange moves 2 narrow
   columns, never the text.
 * **MinHash+LSH**: per batch, shingle → 128-permutation minhash
-  signature (numpy, one matrix min per doc) → explode to
-  (band_id, band_hash, doc_id, signature) rows → groupby on the
-  band key → within-bucket pairwise signature Jaccard estimate →
-  candidate pairs above threshold. No driver-side state; bucket
-  groups bound the pairwise work. Signature hashing uses CRC32 —
-  deterministic across processes (PYTHONHASHSEED-free).
+  signature (numpy, one matrix min per doc) → explode to id-only
+  (band_key, doc_id) rows → groupby on the band key → candidate id
+  pairs (all-pairs to HOT_BUCKET_CAP, star-linked beyond) →
+  distributed shuffle dedup → bucketed co-group verification that
+  joins signatures back onto the pairs and filters by the
+  slot-agreement estimate. Every stage is a lazy Dataset transform:
+  no candidate set or signature set ever lands on the driver.
+  Signature hashing uses CRC32 — deterministic across processes
+  (PYTHONHASHSEED-free).
 * **SimHash**: 64-bit signatures; near-dup = small Hamming distance.
 * Exact verification (``ngram_jaccard``) recomputes true Jaccard for
   candidate pairs from their shingle sets.
@@ -173,20 +176,48 @@ def lsh_bands(batch: pa.Table, *, bands: int = 16, rows: int = 8,
     return pa.table(cols)
 
 
+#: Quadratic pair emission is bounded to this many bucket members; the
+#: overflow members are star-linked instead (see _star_overflow).
+HOT_BUCKET_CAP = 256
+
+
+def _star_overflow(ids: list) -> tuple[list, list]:
+    """Hot-bucket policy: members beyond HOT_BUCKET_CAP are linked to
+    the bucket minimum (one pair each) instead of quadratically to
+    every other member.  No member is silently dropped — every doc in
+    the bucket appears in at least one candidate pair, so
+    duplicate-CLUSTER recall is preserved (components stay connected
+    through the hub) while the pair count stays linear in bucket size.
+    Pairs between two overflow members are not emitted; for the
+    boilerplate-heavy buckets this cap targets, those docs are linked
+    via the hub and downstream verification confirms each edge."""
+    hub = ids[0]
+    a_out, b_out = [], []
+    for d in ids[HOT_BUCKET_CAP:]:
+        a_out.append(hub)
+        b_out.append(d)
+    return a_out, b_out
+
+
 def bucket_candidate_ids(group: pa.Table) -> pa.Table:
-    """Within one LSH bucket: all candidate id pairs (doc_a < doc_b),
-    no similarity yet — verification happens after the signatures are
-    joined back. Hot-bucket cap 256 (same policy as the carrying
-    variant)."""
-    ids = sorted(set(group.column("doc_id").to_pylist()))[:256]
+    """Within one LSH bucket: candidate id pairs (doc_a < doc_b), no
+    similarity yet — verification happens after the signatures are
+    joined back.  All-pairs up to HOT_BUCKET_CAP members; overflow
+    members are star-linked to the bucket minimum (never silently
+    dropped — see _star_overflow)."""
+    ids = sorted(set(group.column("doc_id").to_pylist()))
     if len(ids) < 2:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64())})
+    head = ids[:HOT_BUCKET_CAP]
     a_out, b_out = [], []
-    for i in range(len(ids) - 1):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+    for i in range(len(head) - 1):
+        for j in range(i + 1, len(head)):
+            a_out.append(head[i])
+            b_out.append(head[j])
+    sa, sb = _star_overflow(ids)
+    a_out.extend(sa)
+    b_out.extend(sb)
     return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                      "doc_b": pa.array(b_out, pa.int64())})
 
@@ -194,35 +225,44 @@ def bucket_candidate_ids(group: pa.Table) -> pa.Table:
 def bucket_candidate_pairs(group: pa.Table, *, threshold: float = 0.5
                            ) -> pa.Table:
     """Within one LSH bucket: pairwise signature-estimated Jaccard;
-    emit pairs above threshold (doc_a < doc_b). Bucket sizes bound the
-    quadratic work; a hot bucket (all-identical boilerplate) is capped
-    at 256 members (cap logged via the truncated flag)."""
-    ids = group.column("doc_id").to_pylist()
-    if len(ids) < 2:
+    emit pairs above threshold (doc_a < doc_b).  All-pairs up to
+    HOT_BUCKET_CAP members; overflow members are star-verified against
+    the bucket minimum (same policy as bucket_candidate_ids — nothing
+    silently dropped)."""
+    raw_ids = group.column("doc_id").to_pylist()
+    if len(raw_ids) < 2:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard_est_milli": pa.array([], pa.int64())})
-    order = np.argsort(ids, kind="stable")
-    cap = 256
-    truncated = len(ids) > cap
-    order = order[:cap]
+    order = np.argsort(raw_ids, kind="stable")
     sigs = group.column("signature").to_pylist()
-    mat = np.asarray([sigs[i] for i in order], dtype=np.int64)
-    ids = [ids[i] for i in order]
+    # de-dup ids (one doc can reach a bucket once per band key by
+    # construction, but be safe), keep id-sorted order
+    seen: dict = {}
+    for i in order:
+        seen.setdefault(raw_ids[i], sigs[i])
+    ids = list(seen)
+    mat = np.asarray([seen[i] for i in ids], dtype=np.int64)
+    head_n = min(len(ids), HOT_BUCKET_CAP)
     a_out, b_out, j_out = [], [], []
-    n = len(ids)
-    for i in range(n - 1):
-        eq = (mat[i + 1:] == mat[i]).mean(axis=1)
+
+    def emit(a, b, jv):
+        if jv >= threshold and a != b:
+            if a > b:
+                a, b = b, a
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(int(jv * 1000))
+
+    for i in range(head_n - 1):
+        eq = (mat[i + 1:head_n] == mat[i]).mean(axis=1)
         for k, jv in enumerate(eq):
-            if jv >= threshold:
-                a, b = ids[i], ids[i + 1 + k]
-                if a == b:
-                    continue
-                if a > b:
-                    a, b = b, a
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(int(jv * 1000))
+            emit(ids[i], ids[i + 1 + k], jv)
+    if len(ids) > HOT_BUCKET_CAP:
+        # star-verify overflow members against the hub (bucket min)
+        eq = (mat[HOT_BUCKET_CAP:] == mat[0]).mean(axis=1)
+        for k, jv in enumerate(eq):
+            emit(ids[0], ids[HOT_BUCKET_CAP + k], jv)
     return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                      "doc_b": pa.array(b_out, pa.int64()),
                      "jaccard_est_milli": pa.array(j_out, pa.int64())})
@@ -258,10 +298,184 @@ def _verify_pairs_with_sigs(pairs: pa.Table, sig_lookup: dict,
                      "jaccard_est_milli": pa.array(j_out, pa.int64())})
 
 
+def _sig_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Fixed-length list<int64> column → (n, P) numpy matrix via
+    flatten + reshape (no per-row Python lists)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 1)
+
+
+def _sig_to_fixed_binary(t: pa.Table, out_col: str) -> pa.Table:
+    """(doc_id, signature:list<int64>) → (doc_id, out_col:fixed-width
+    binary).  Arrow's hash join rejects nested payload columns, so the
+    P-slot signature travels through the join as P*8 opaque bytes —
+    packed zero-copy from the (n, P) int64 matrix."""
+    mat = np.ascontiguousarray(_sig_matrix(t.column("signature")),
+                               dtype="<i8")
+    n, p = mat.shape
+    fb = pa.Array.from_buffers(pa.binary(p * 8), n,
+                               [None, pa.py_buffer(mat.tobytes())])
+    return pa.table({"doc_id": t.column("doc_id"), out_col: fb})
+
+
+def _fixed_binary_to_matrix(col) -> np.ndarray:
+    """fixed_size_binary column → (n, P) int64 matrix, zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    p = col.type.byte_width // 8
+    mat = np.frombuffer(col.buffers()[1], dtype="<i8").reshape(-1, p)
+    return mat[col.offset:col.offset + len(col)]
+
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _doc_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic (process-stable) doc → bucket hash."""
+    return ((ids.astype(np.uint64) * _MIX_A)
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, num_buckets: int
+                 ) -> np.ndarray:
+    u = (a.astype(np.uint64) * _MIX_A) ^ (b.astype(np.uint64) * _MIX_B)
+    return (u % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _cogroup_sig_rows(t: pa.Table, *, num_buckets: int) -> pa.Table:
+    """Signatures → co-group rows (src=0): one row per doc, bucketed
+    by hash(doc_id)."""
+    t2 = _sig_to_fixed_binary(t, "sig")
+    ids = t2.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(t2)
+    return pa.table({
+        "bucket": pa.array(_doc_bucket(ids, num_buckets), pa.int64()),
+        "doc_id": t2.column("doc_id").cast(pa.int64()),
+        "doc_a": pa.nulls(n, pa.int64()),
+        "doc_b": pa.nulls(n, pa.int64()),
+        "is_a": pa.nulls(n, pa.int8()),
+        "src": pa.array(np.zeros(n, dtype=np.int8)),
+        "sig": t2.column("sig"),
+    })
+
+
+def _cogroup_half_rows(t: pa.Table, *, num_buckets: int, sig_width: int
+                       ) -> pa.Table:
+    """Candidate pairs → co-group rows (src=1): each pair explodes
+    into two halves, one keyed (and bucketed) by each member doc."""
+    a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(a)
+    doc_id = np.concatenate([a, b])
+    return pa.table({
+        "bucket": pa.array(_doc_bucket(doc_id, num_buckets), pa.int64()),
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+        "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+        "is_a": pa.array(
+            np.concatenate([np.ones(n, dtype=np.int8),
+                            np.zeros(n, dtype=np.int8)])),
+        "src": pa.array(np.ones(2 * n, dtype=np.int8)),
+        "sig": pa.nulls(2 * n, pa.binary(sig_width)),
+    })
+
+
+def _add_pair_bucket(t: pa.Table, *, num_buckets: int) -> pa.Table:
+    a = t.column("doc_a").to_numpy(zero_copy_only=False)
+    b = t.column("doc_b").to_numpy(zero_copy_only=False)
+    return t.append_column(
+        "pair_bucket", pa.array(_pair_bucket(a, b, num_buckets),
+                                pa.int64()))
+
+
+def _attach_sigs_group(group: pa.Table) -> pa.Table:
+    """Bucketed co-group stage 1: the group holds the signatures of
+    every doc hashing to this bucket (src=0) plus every candidate-pair
+    HALF keyed by a doc in this bucket (src=1).  Attaches each half's
+    signature with a vectorized index_in/take — no Python dict, no
+    per-row loop."""
+    src = group.column("src")
+    sig_rows = group.filter(pa.compute.equal(src, 0))
+    half_rows = group.filter(pa.compute.equal(src, 1))
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "is_a": pa.array([], pa.int8()),
+                      "sig": pa.array([], group.column("sig").type)})
+    if half_rows.num_rows == 0 or sig_rows.num_rows == 0:
+        return empty
+    idx = pa.compute.index_in(half_rows.column("doc_id"),
+                              value_set=sig_rows.column("doc_id"))
+    found = pa.compute.is_valid(idx)
+    half_rows = half_rows.filter(found)
+    idx = idx.filter(found)
+    return pa.table({
+        "doc_a": half_rows.column("doc_a"),
+        "doc_b": half_rows.column("doc_b"),
+        "is_a": half_rows.column("is_a"),
+        "sig": pa.compute.take(
+            sig_rows.column("sig").combine_chunks(), idx),
+    })
+
+
+def _combine_halves_group(group: pa.Table, *, threshold: float
+                          ) -> pa.Table:
+    """Bucketed co-group stage 2: the group holds both signature-
+    carrying halves of every pair hashing to this bucket.  Sorts by
+    (doc_a, doc_b, is_a) so halves are adjacent, pairs them with a
+    vectorized adjacency check, and emits pairs whose slot-agreement
+    estimate ≥ threshold."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard_est_milli": pa.array([], pa.int64())})
+    if group.num_rows < 2:
+        return empty
+    t = group.sort_by([("doc_a", "ascending"), ("doc_b", "ascending"),
+                       ("is_a", "descending")])  # A half (is_a=1) first
+    da = t.column("doc_a").to_numpy(zero_copy_only=False)
+    db = t.column("doc_b").to_numpy(zero_copy_only=False)
+    isa = t.column("is_a").to_numpy(zero_copy_only=False)
+    # rows i, i+1 form a complete pair iff same (doc_a, doc_b) and
+    # is_a = (1, 0); anything unmatched is dropped
+    n = len(da)
+    first = np.zeros(n, dtype=bool)
+    first[:-1] = ((da[:-1] == da[1:]) & (db[:-1] == db[1:])
+                  & (isa[:-1] == 1) & (isa[1:] == 0))
+    ai = np.nonzero(first)[0]
+    if len(ai) == 0:
+        return empty
+    mat = _fixed_binary_to_matrix(t.column("sig"))
+    jv = (mat[ai] == mat[ai + 1]).mean(axis=1)
+    keep = jv >= threshold
+    if not keep.any():
+        return empty
+    return pa.table({
+        "doc_a": pa.array(da[ai][keep], pa.int64()),
+        "doc_b": pa.array(db[ai][keep], pa.int64()),
+        "jaccard_est_milli": pa.array(
+            (jv[keep] * 1000).astype(np.int64), pa.int64()),
+    })
+
+
+def _distinct_pairs(ds, extra_cols: tuple = ()):
+    """Distributed distinct over (doc_a, doc_b[, extra]) — a hash
+    groupby + count, exchange carries only the narrow key columns.
+    This is the default pair dedup: candidate sets on boilerplate-heavy
+    corpora can be a large fraction of the corpus, too big for one
+    block."""
+    keys = ["doc_a", "doc_b", *extra_cols]
+    out = ds.groupby(keys).count()
+    return out.select_columns(keys)
+
+
 def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
                       shingle_words=3, threshold=0.5, seed=42,
-                      concurrency=None, pair_dedup="local",
-                      band_exchange="ids"):
+                      concurrency=None, pair_dedup="shuffle",
+                      band_exchange="ids", verify="cogroup",
+                      num_partitions=None):
     """Full MinHash-LSH near-dup candidate pipeline over a documents
     Dataset → distinct (doc_a, doc_b, jaccard_est_milli).
 
@@ -271,22 +485,46 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
       (band_key, doc_id) — ~16 B/doc exchanged instead of
       bands x signature ≈ 16 KB/doc (a 1000x reduction; at 10^12 docs
       the difference is petabytes). Candidate pairs come out id-only
-      and are verified afterwards against the signatures of the
-      candidate docs (semi-join: only candidates' signatures move).
+      and are verified by joining the signatures back onto the pairs.
     * ``"signatures"`` — the band rows carry signatures and buckets
       verify in place; avoids the second pass when candidate sets are
       a large fraction of the corpus.
 
-    ``pair_dedup``: a pair can surface from several bands. ``"local"``
-    (default) coalesces candidates into one block and dedupes with
-    pandas — right when pairs are output-sized; ``"shuffle"`` uses a
-    groupby for huge candidate sets.
+    ``verify`` (ids mode only) selects how signatures meet candidates:
+
+    * ``"cogroup"`` (default): a bucketed distributed co-group.  Each
+      candidate pair explodes into two halves keyed by its member
+      docs; halves union with the signature rows and ONE
+      ``groupby(hash(doc_id) % B)`` co-locates every half with its
+      doc's signature (vectorized index_in/take attach), then a second
+      ``groupby(hash(pair) % B)`` co-locates the two signature-
+      carrying halves and a vectorized adjacency pass computes the
+      slot-agreement estimate.  Fully lazy Dataset-out; nothing
+      pair-set-sized ever lands on the driver — on boilerplate-heavy
+      corpora the candidate set is O(corpus), so this is the only
+      shape that survives 10^12 docs.  (``Dataset.join`` would express
+      the same attach, but Ray 2.49's join operator builds 0-column
+      tables for partitions that receive no blocks on one side and
+      ``pa.Table.join`` then raises — the bucketed co-group avoids the
+      operator entirely.)
+    * ``"local"``: the small-N shortcut — candidate ids are pulled to
+      the driver, the candidates' signatures are semi-joined by a
+      broadcast membership filter, and verification runs in one local
+      dict.  EAGER and driver-memory-bounded; only for corpora whose
+      candidate set comfortably fits on the driver.
+
+    ``pair_dedup``: a pair can surface from several bands.
+    ``"shuffle"`` (default) dedups with a distributed hash groupby —
+    exchange carries two int64 columns; ``"local"`` coalesces into one
+    block and dedups with pandas (output-sized pair sets only).
     """
     import functools
     import ray
     from ..state.sizing import default_pool_size
     if concurrency is None:
         concurrency = default_pool_size()
+    if num_partitions is None:
+        num_partitions = max(8, default_pool_size())
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm,
@@ -301,13 +539,15 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
             functools.partial(bucket_candidate_pairs, threshold=threshold),
             batch_format="pyarrow")
         if pair_dedup == "shuffle":
-            return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-                lambda g: g.slice(0, 1), batch_format="pyarrow")
+            # estimates are signature-determined, identical across
+            # bands → keying on all 3 columns is an exact distinct
+            return _distinct_pairs(pairs, ("jaccard_est_milli",))
         return pairs.repartition(1).map_batches(
             _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
 
-    # scale shape: id-only band rows; signatures materialized once and
-    # re-read for the candidate verification (semi-join by membership)
+    # scale shape: id-only band rows; signatures materialized once
+    # (block-level, stays in the object store) and joined back over
+    # the candidate pairs for verification
     sigs = sigs.materialize()
     bandrows = sigs.map_batches(
         functools.partial(lsh_bands, bands=bands, rows=rows,
@@ -315,15 +555,40 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
         batch_format="pyarrow")
     cand = bandrows.groupby("band_key").map_groups(
         bucket_candidate_ids, batch_format="pyarrow")
-    cand = cand.repartition(1).map_batches(
-        _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
-    cand = cand.materialize()
+    if pair_dedup == "shuffle":
+        cand = _distinct_pairs(cand)
+    else:
+        cand = cand.repartition(1).map_batches(
+            _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
+
+    if verify == "cogroup":
+        sig_rows = sigs.map_batches(
+            functools.partial(_cogroup_sig_rows,
+                              num_buckets=num_partitions),
+            batch_format="pyarrow")
+        half_rows = cand.map_batches(
+            functools.partial(_cogroup_half_rows,
+                              num_buckets=num_partitions,
+                              sig_width=num_perm * 8),
+            batch_format="pyarrow")
+        attached = sig_rows.union(half_rows).groupby("bucket").map_groups(
+            _attach_sigs_group, batch_format="pyarrow")
+        paired = attached.map_batches(
+            functools.partial(_add_pair_bucket,
+                              num_buckets=num_partitions),
+            batch_format="pyarrow")
+        return paired.groupby("pair_bucket").map_groups(
+            functools.partial(_combine_halves_group, threshold=threshold),
+            batch_format="pyarrow")
+
+    # verify == "local": eager driver-side shortcut for small corpora
     cand_rows = cand.take_all()
     if not cand_rows:
-        return cand.map_batches(
-            lambda t: t.append_column(
-                "jaccard_est_milli", pa.nulls(len(t), pa.int64())),
-            batch_format="pyarrow")
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_est_milli": pa.array([], pa.int64())}))
     wanted = {r["doc_a"] for r in cand_rows} | {r["doc_b"] for r in cand_rows}
     # membership semi-join: only the candidates' signatures leave the
     # signature dataset (wanted is pair-set-sized)
@@ -331,8 +596,9 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
 
     def pick(batch: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
-        keep = [i in w for i in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        return batch.filter(pa.compute.is_in(
+            batch.column("doc_id"),
+            value_set=pa.array(sorted(w), pa.int64())))
 
     sig_rows = sigs.map_batches(pick, batch_format="pyarrow").take_all()
     lookup = {r["doc_id"]: np.asarray(r["signature"], dtype=np.int64)
@@ -405,24 +671,30 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def simhash_bands(batch: pa.Table, *, bands: int = 4) -> pa.Table:
-    """Explode 64-bit simhashes into bit-band rows (band_id:band_value
-    key). Pigeonhole guarantee: two hashes within Hamming distance
-    bands-1 share at least one exact band — the standard bit-sampling
-    LSH for Hamming space. Stateless function stage."""
+    """Explode 64-bit simhashes into bit-band rows ("band:value" key).
+    Pigeonhole guarantee: two hashes within Hamming distance bands-1
+    share at least one exact band — the standard bit-sampling LSH for
+    Hamming space. Stateless function stage.
+
+    The key is a string f"{band}:{value}" so the band id can never
+    collide with the value bits (an int key (b << k) ^ v merges
+    buckets across bands whenever the band width 64//bands exceeds
+    k — silent bucket inflation toward the hot-bucket cap)."""
     ids = batch.column("doc_id").to_pylist()
     hs = batch.column("simhash").to_numpy(zero_copy_only=False)
     width = 64 // bands
-    mask = (1 << width) - 1
-    out_key, out_id, out_h = [], [], []
+    mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(
+        0xFFFFFFFFFFFFFFFF)
+    out_key, out_id = [], []
     u = hs.astype(np.uint64)
     for b in range(bands):
-        vals = (u >> np.uint64(b * width)) & np.uint64(mask)
+        vals = (u >> np.uint64(b * width)) & mask
         for i, v in zip(ids, vals):
-            out_key.append((b << 16) ^ int(v))
+            out_key.append(f"{b}:{int(v)}")
             out_id.append(i)
     out_h = list(hs) * bands
     return pa.table({
-        "band_key": pa.array(out_key, pa.int64()),
+        "band_key": pa.array(out_key, pa.string()),
         "doc_id": pa.array(out_id),
         "simhash": pa.array(out_h, pa.int64()),
     })
@@ -431,26 +703,27 @@ def simhash_bands(batch: pa.Table, *, bands: int = 4) -> pa.Table:
 def simhash_bucket_pairs(group: pa.Table, *, max_hamming: int = 3
                          ) -> pa.Table:
     """Within one simhash band bucket: pairwise Hamming; emit pairs
-    (doc_a < doc_b, hamming <= max_hamming). Bucket size capped at 256
-    (hot-bucket guard, same policy as MinHash buckets)."""
-    ids = group.column("doc_id").to_pylist()
+    (doc_a < doc_b, hamming <= max_hamming).  All-pairs up to
+    HOT_BUCKET_CAP members; overflow members are star-checked against
+    the bucket minimum (same policy as the MinHash buckets — nothing
+    silently dropped, cluster connectivity preserved through the
+    hub)."""
+    raw_ids = group.column("doc_id").to_pylist()
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
-    if len(ids) < 2:
+    if len(raw_ids) < 2:
         return empty
-    order = np.argsort(ids, kind="stable")[:256]
+    order = np.argsort(raw_ids, kind="stable")
     hs = group.column("simhash").to_numpy(zero_copy_only=False)
-    ids = [ids[i] for i in order]
+    ids = [raw_ids[i] for i in order]
     u = hs[order].astype(np.uint64)
+    head_n = min(len(ids), HOT_BUCKET_CAP)
     a_out, b_out, d_out = [], [], []
-    for i in range(len(ids) - 1):
-        x = u[i + 1:] ^ u[i]
-        # vectorized popcount via uint8 view + unpackbits
-        bits = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
-        dist = bits.sum(axis=1)
+
+    def emit_from(anchor_idx, other_idx, dist):
         for k in np.nonzero(dist <= max_hamming)[0]:
-            a, b = ids[i], ids[i + 1 + k]
+            a, b = ids[anchor_idx], ids[other_idx[k]]
             if a == b:
                 continue
             if a > b:
@@ -458,6 +731,17 @@ def simhash_bucket_pairs(group: pa.Table, *, max_hamming: int = 3
             a_out.append(a)
             b_out.append(b)
             d_out.append(int(dist[k]))
+
+    def popcount(x):
+        bits = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+        return bits.sum(axis=1)
+
+    for i in range(head_n - 1):
+        dist = popcount(u[i + 1:head_n] ^ u[i])
+        emit_from(i, np.arange(i + 1, head_n), dist)
+    if len(ids) > HOT_BUCKET_CAP:
+        dist = popcount(u[HOT_BUCKET_CAP:] ^ u[0])
+        emit_from(0, np.arange(HOT_BUCKET_CAP, len(ids)), dist)
     if not a_out:
         return empty
     return pa.table({"doc_a": pa.array(a_out, pa.int64()),
@@ -466,12 +750,17 @@ def simhash_bucket_pairs(group: pa.Table, *, max_hamming: int = 3
 
 
 def simhash_neardup_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
-                          concurrency=None):
+                          concurrency=None, pair_dedup="shuffle"):
     """SimHash near-dup pipeline over a documents Dataset:
     simhash → bit-band explode → groupby(band) → within-bucket Hamming
     → distinct (doc_a, doc_b, hamming). Exact for
     max_hamming <= bands-1 (pigeonhole); the only shuffle moves
-    (band_key, doc_id, simhash) rows."""
+    (band_key, doc_id, simhash) rows.
+
+    ``pair_dedup="shuffle"`` (default) runs the distinct as a
+    distributed hash groupby over the narrow pair columns — pair sets
+    on near-identical-boilerplate corpora can be corpus-sized;
+    ``"local"`` coalesces into one block (small outputs only)."""
     import functools
     from ..state.sizing import default_pool_size
     if concurrency is None:
@@ -484,6 +773,8 @@ def simhash_neardup_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
     pairs = bandrows.groupby("band_key").map_groups(
         functools.partial(simhash_bucket_pairs, max_hamming=max_hamming),
         batch_format="pyarrow")
-    # output-sized candidate set → local distinct (see minhash_lsh_pairs)
+    if pair_dedup == "shuffle":
+        # hamming is pair-determined → keying on all 3 is exact distinct
+        return _distinct_pairs(pairs, ("hamming",))
     return pairs.repartition(1).map_batches(
         _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)

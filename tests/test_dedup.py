@@ -165,6 +165,72 @@ def test_simhash_neardup_pipeline(ray_session):
         assert d <= 3
 
 
+def test_bucket_star_overflow_unit():
+    """Hot buckets: quadratic pairs up to the cap, star links to the
+    bucket minimum beyond it — no member silently dropped."""
+    from gumbo_pp_ray.stages.dedup import HOT_BUCKET_CAP, bucket_candidate_ids
+
+    n = HOT_BUCKET_CAP + 44
+    g = pa.table({"doc_id": list(range(n))})
+    out = bucket_candidate_ids(g)
+    pairs = set(zip(out.column("doc_a").to_pylist(),
+                    out.column("doc_b").to_pylist()))
+    assert len(pairs) == HOT_BUCKET_CAP * (HOT_BUCKET_CAP - 1) // 2 + 44
+    covered = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert covered == set(range(n))          # full membership coverage
+    for j in range(HOT_BUCKET_CAP, n):
+        assert (0, j) in pairs               # star links to the hub
+
+
+def test_minhash_hot_bucket_full_cluster_recall(ray_session):
+    """A planted hot bucket (600 identical docs, >> HOT_BUCKET_CAP)
+    must keep every member connected in the verified pair output."""
+    import ray.data
+    from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
+
+    n = 600
+    t = pa.table({"doc_id": list(range(n)),
+                  "text": ["identical boilerplate page " * 20] * n})
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.5,
+                              concurrency=2).take_all()
+    covered = ({r["doc_a"] for r in pairs}
+               | {r["doc_b"] for r in pairs})
+    assert covered == set(range(n))
+    # identical docs → estimate is exactly 1.0
+    assert all(r["jaccard_est_milli"] == 1000 for r in pairs)
+
+
+def test_minhash_no_candidates_empty_result(ray_session):
+    """A corpus with no near-dups flows through the distributed verify
+    without error and yields zero pairs."""
+    import ray.data
+    from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
+
+    texts = [" ".join(f"u{i}w{j}" for j in range(50)) for i in range(8)]
+    t = pa.table({"doc_id": list(range(8)), "text": texts})
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.5,
+                              concurrency=2).take_all()
+    assert pairs == []
+
+
+def test_simhash_band_keys_disjoint_across_bands():
+    """bands=2 → 32-bit band values; the string key must keep band
+    namespaces disjoint (an int (b<<16)^v key would collide)."""
+    from gumbo_pp_ray.stages.dedup import simhash_bands
+
+    t = pa.table({"doc_id": [0, 1],
+                  "simhash": pa.array([(1 << 48) | 7, 7], pa.int64())})
+    out = simhash_bands(t, bands=2)
+    keys = out.column("band_key").to_pylist()
+    bands = {k.split(":")[0] for k in keys}
+    assert bands == {"0", "1"}
+    # doc 0's upper band (1<<16 within band 1) must not equal any
+    # band-0 key even though the raw band values could collide
+    b0 = {k for k in keys if k.startswith("0:")}
+    b1 = {k for k in keys if k.startswith("1:")}
+    assert not (b0 & b1)
+
+
 def test_minhash_band_exchange_modes_agree(ray_session, dup_corpus):
     import ray.data
     from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
