@@ -151,6 +151,13 @@ def run_extraction(
             summary["spans"] += m.get("spans", 0)
             summary["errors"] += m.get("errors", 0)
             continue
+        if os.path.isdir(final_dir):
+            # crash window: died after the directory rename but before
+            # the manifest write.  The manifest is the commit marker —
+            # a final_dir without one is uncommitted output; remove it
+            # so the re-run's os.replace cannot collide (rename onto a
+            # non-empty directory raises and would wedge resume).
+            shutil_rmtree(final_dir)
         t0 = time.perf_counter()
         ds = read_interleaved(wave_files)
         out = extract_dataset(ds, profile=profile,

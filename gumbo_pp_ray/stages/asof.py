@@ -72,10 +72,37 @@ def _bucket_asof(group: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def asof_join_events_orders(events_ds, orders_ds, *, num_buckets: int = 16):
+#: target rows per bucket group — sized so one bucket's pandas frame
+#: (join columns only, ~40 B/row) stays well under a worker's heap
+_ROWS_PER_BUCKET = 250_000
+
+
+def derive_num_buckets(total_rows: int) -> int:
+    """Bucket count from input size: ~_ROWS_PER_BUCKET rows per
+    bucket, floor 16 (parallelism on small inputs), cap 65536."""
+    return max(16, min(65536, -(-total_rows // _ROWS_PER_BUCKET)))
+
+
+def asof_join_events_orders(events_ds, orders_ds, *,
+                            num_buckets: int | None = None):
     """(event_id, user_id, o_orderkey) — latest order at or before each
-    event's timestamp, per customer."""
+    event's timestamp, per customer.
+
+    ``num_buckets=None`` derives the bucket count from
+    ``events.count() + orders.count()`` so per-bucket frames stay
+    bounded as inputs grow (for parquet-read inputs ``count()`` is a
+    metadata lookup; pass an explicit count-derived value to keep a
+    transformed lineage fully lazy).  Both sides are pruned to the
+    join columns BEFORE the bucket shuffle (_tag_left/_tag_right), so
+    a bucket group holds ~1/B of the narrow join keys, never the full
+    payload rows.  Caveat: ``merge_asof(by=key)`` needs all rows of
+    one key in one bucket, so a single pathologically hot KEY still
+    bounds a task; splitting a hot key needs a time-sliced prefix scan
+    (carry the latest order across slice boundaries) — not implemented."""
     import functools
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(
+            events_ds.count() + orders_ds.count())
     left = events_ds.map_batches(_tag_left, batch_format="pyarrow")
     right = orders_ds.map_batches(_tag_right, batch_format="pyarrow")
     both = left.union(right).map_batches(

@@ -125,9 +125,19 @@ class ExtractSpans:
                 ckey = None
                 if self._cache_size:
                     import hashlib
+                    import struct
+                    # the key folds in the span STRUCTURE (count, each
+                    # segment's byte length) and the chunking step, not
+                    # just the concatenated text: two payloads with the
+                    # same concatenation but different span boundaries
+                    # can parse into different fragment groupings when
+                    # chunk_spans slices them
                     h = hashlib.md5()
+                    h.update(struct.pack("<qq", len(seg), chunk or -1))
                     for s in seg:
-                        h.update(s.encode("utf-8", "surrogatepass"))
+                        b = s.encode("utf-8", "surrogatepass")
+                        h.update(struct.pack("<q", len(b)))
+                        h.update(b)
                     ckey = h.digest()
                     hit = self._cache.get(ckey)
                     if hit is not None:

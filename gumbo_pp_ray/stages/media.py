@@ -4,11 +4,12 @@ frame-sample stages.
 Media payloads are opaque ``binary`` columns with typed metadata
 (``media_type`` derived from the ref scheme: ``img://`` / ``vid://``
 …). The Ray-side plumbing (schema, actor signature, batch sizing,
-output layout) is real and tested; the actual codec work is STUBBED —
-this container ships no image/audio libraries — behind
-``decoder="fake"`` (deterministic: byte-hash-derived dimensions and
-features) or ``decoder="real"`` → ``NotImplementedError`` until a
-codec lib is importable.
+output layout) is real and tested; the codec is selected by an
+import probe — ``decoder="auto"`` uses Pillow when importable and
+falls back to the deterministic stub (byte-hash-derived dimensions
+and features) in this container, which ships no image libraries;
+``decoder="real"`` raises ``NotImplementedError`` when no codec is
+importable.
 
 Batch-size note (memory-aware): binary payloads are wide — callers
 should use a small ``batch_size`` (≤32) so batch x concurrency fits
@@ -69,23 +70,49 @@ def synth_payloads(batch: pa.Table) -> pa.Table:
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
 
+def probe_image_codec():
+    """Import-probe for a real image codec (Pillow).  Returns the
+    Image module or None; called once per actor in DecodeMedia
+    __init__, never per batch."""
+    try:                                # pragma: no cover - lib absent here
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeMedia:
     """Actor-pool decode stage. ``__init__`` loads the decoder once
     per actor (the expensive step for a real codec); ``__call__``
     decodes a batch.
 
+    ``decoder``:
+
+    * ``"fake"`` — deterministic stub (byte-hash-derived geometry and
+      features); always available.
+    * ``"real"`` — Pillow decode; raises ``NotImplementedError`` if no
+      codec library is importable (this container ships none).
+    * ``"auto"`` — Pillow if importable, else the stub; the chosen
+      mode is recorded in ``self.mode`` and emitted per row in the
+      ``decoder`` column, so downstream can tell real from stubbed
+      geometry.
+
     Output per row: width, height, n_frames, feature vector
-    (list<float>, ``feat_dim``).
+    (list<float>, ``feat_dim``), decoder.
     """
 
     def __init__(self, decoder: str = "fake", feat_dim: int = 16):
-        if decoder == "real":           # pragma: no cover - no codec libs
-            raise NotImplementedError(
-                "no image/audio codec libraries in this environment; "
-                "use decoder='fake' (deterministic stub) — the Ray "
-                "plumbing (schema/actors/batching) is identical")
-        if decoder != "fake":
+        if decoder not in ("fake", "real", "auto"):
             raise ValueError(f"unknown decoder: {decoder}")
+        self._codec = None
+        if decoder in ("real", "auto"):
+            self._codec = probe_image_codec()
+            if decoder == "real" and self._codec is None:
+                raise NotImplementedError(
+                    "no image codec library importable (Pillow); use "
+                    "decoder='fake' or 'auto' — the Ray plumbing "
+                    "(schema/actors/batching) is identical")
+        self.mode = "real" if self._codec is not None else "fake"
         self.feat_dim = feat_dim
 
     def _decode_one(self, payload: bytes, media_type: str):
@@ -97,12 +124,33 @@ class DecodeMedia:
                  .astype(np.float32) / 255.0)
         return width, height, n_frames, feats
 
+    def _decode_one_real(self, payload: bytes, media_type: str):
+        """Pillow path: geometry from the decoded image; features =
+        mean-pooled grayscale thumbnail (deterministic)."""
+        import io
+        img = self._codec.open(io.BytesIO(payload))
+        width, height = img.size
+        n_frames = int(getattr(img, "n_frames", 1))
+        side = max(1, int(self.feat_dim ** 0.5))
+        thumb = img.convert("L").resize((side, side))
+        raw = np.frombuffer(thumb.tobytes(), dtype=np.uint8)
+        feats = np.zeros(self.feat_dim, dtype=np.float32)
+        feats[:len(raw)] = raw[:self.feat_dim].astype(np.float32) / 255.0
+        return width, height, n_frames, feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         mtypes = batch.column("media_type").to_pylist()
+        decode = (self._decode_one_real if self._codec is not None
+                  else self._decode_one)
         w, hgt, nf, feats = [], [], [], []
         for p, mt in zip(payloads, mtypes):
-            a, b, c, f = self._decode_one(p or b"", mt)
+            try:
+                a, b, c, f = decode(p or b"", mt)
+            except Exception:
+                # undecodable payload → sentinel row, batch never fails
+                a, b, c, f = -1, -1, 0, np.zeros(self.feat_dim,
+                                                 dtype=np.float32)
             w.append(a)
             hgt.append(b)
             nf.append(c)
@@ -115,6 +163,7 @@ class DecodeMedia:
             "height": pa.array(hgt, pa.int32()),
             "n_frames": pa.array(nf, pa.int32()),
             "features": pa.array(feats, pa.list_(pa.float32())),
+            "decoder": pa.array([self.mode] * len(w), pa.string()),
         })
 
 

@@ -35,17 +35,36 @@ _WORDS = ("report summary figure table result method data model "
           "analysis section appendix reference").split()
 
 
+def probe_pdf_lib():
+    """Import-probe for a real PDF library (pypdf).  Returns the
+    module or None; called once per actor, never per batch."""
+    try:                                # pragma: no cover - lib absent here
+        import pypdf
+        return pypdf
+    except ImportError:
+        return None
+
+
 class PdfParse:
-    """Actor-pool stage: (doc_id, payload:binary) → layout blocks."""
+    """Actor-pool stage: (doc_id, payload:binary) → layout blocks.
+
+    ``parser="fake"`` — deterministic stub layout; ``"real"`` — pypdf,
+    raising ``NotImplementedError`` when not importable; ``"auto"`` —
+    pypdf if importable else the stub (``self.mode`` records the
+    choice)."""
 
     def __init__(self, parser: str = "fake"):
-        if parser == "real":            # pragma: no cover - no pdf libs
-            raise NotImplementedError(
-                "no PDF library in this environment; use parser='fake' "
-                "(deterministic stub) — schema/actors/batching are "
-                "identical to a real decoder")
-        if parser != "fake":
+        if parser not in ("fake", "real", "auto"):
             raise ValueError(f"unknown parser: {parser}")
+        self._lib = None
+        if parser in ("real", "auto"):
+            self._lib = probe_pdf_lib()
+            if parser == "real" and self._lib is None:
+                raise NotImplementedError(
+                    "no PDF library importable (pypdf); use "
+                    "parser='fake' or 'auto' — schema/actors/batching "
+                    "are identical to a real decoder")
+        self.mode = "real" if self._lib is not None else "fake"
 
     def _fake_layout(self, doc_id: str, payload: bytes):
         h = hashlib.sha256(payload).digest()
@@ -62,12 +81,35 @@ class PdfParse:
                              x0, y0, x0 + 200.0, y0 + 60.0))
         return rows
 
+    def _real_layout(self, doc_id: str, payload: bytes):
+        """pypdf path: one text block per double-newline paragraph per
+        page; synthetic top-down bboxes (pypdf exposes no geometry) so
+        layout_to_spans ordering still applies."""
+        import io
+        reader = self._lib.PdfReader(io.BytesIO(payload))
+        rows = []
+        for page_i, page in enumerate(reader.pages):
+            text = page.extract_text() or ""
+            paras = [t.strip() for t in text.split("\n\n") if t.strip()]
+            for b, para in enumerate(paras):
+                y0 = 700.0 - 90.0 * b
+                rows.append((doc_id, page_i, b, para,
+                             72.0, y0, 272.0, y0 + 60.0))
+        return rows
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
+        layout = (self._real_layout if self._lib is not None
+                  else self._fake_layout)
         rows = []
         for i, p in zip(ids, payloads):
-            rows.extend(self._fake_layout(str(i), p or b""))
+            try:
+                rows.extend(layout(str(i), p or b""))
+            except Exception:
+                # unparseable payload → zero blocks for the doc; the
+                # batch never fails
+                continue
         cols = list(zip(*rows)) if rows else [[] for _ in range(8)]
         return pa.table({
             "doc_id": pa.array(cols[0], pa.string()),

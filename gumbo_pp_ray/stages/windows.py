@@ -8,10 +8,17 @@ streaming-shaped workloads); windows are expressed as
   VECTORIZED per batch (no shuffle for the id), then a
   ``groupby([key, window_id])`` count — the only exchange carries the
   narrow key columns.
-* **Session windows**: ``groupby(key).map_groups`` sorts each user's
-  events by ts and splits on inactivity gaps — incremental state
-  stays inside the group; the ordering assumption (per-key sort
-  within the group) is established by the sort, never by block order.
+* **Session windows**: TWO-PHASE to bound per-task memory under key
+  skew.  Phase 1 groups by (key, coarse time bucket) and emits
+  maximal event runs as narrow SEGMENT rows (start_ts, end_ts,
+  n_events) — a power user's history is split across buckets, so no
+  single task ever holds one user's full event log.  Phase 2 groups
+  the segments by key (segment count ≈ n_sessions + n_buckets — tiny)
+  and merges boundary-straddling runs, which reproduces exact
+  single-pass sessionization because segments partition time and the
+  merge rule compares the same inter-event gaps.  The ordering
+  assumption (per-key sort within the group) is established by the
+  in-group sort, never by block order.
 
 Integer-only outputs (counts, ids) so results are exactly
 SQL-reproducible for the DuckDB oracle.
@@ -49,28 +56,78 @@ def tumbling_counts(ds, *, key: str = "user_id", window_sec: int = 86400,
         batch_format="pyarrow")
 
 
-def _sessionize_group(group: pd.DataFrame, *, gap_sec: int,
-                      key: str, ts_col: str) -> pd.DataFrame:
+def _add_phase_bucket(batch: pa.Table, *, phase_sec: int,
+                      ts_col: str) -> pa.Table:
+    ts = batch.column(ts_col)
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    us = ts.cast(pa.int64())
+    bucket = pa.compute.divide(us, np.int64(phase_sec) * 1_000_000)
+    return batch.append_column("phase_bucket", bucket)
+
+
+def _segments_group(group: pd.DataFrame, *, gap_sec: int, key: str,
+                    ts_col: str) -> pd.DataFrame:
+    """Phase 1: one (key, phase_bucket) group → maximal event runs
+    (gap ≤ gap_sec between consecutive events) as segment rows."""
     g = group.sort_values(ts_col, kind="stable")
     delta = g[ts_col].diff().dt.total_seconds()
-    new_session = (delta > gap_sec).fillna(False)
-    session_id = new_session.cumsum().astype(np.int64)
-    out = (g.assign(session_id=session_id)
-            .groupby("session_id", sort=True)
-            .size()
-            .reset_index(name="n_events"))
+    new_seg = (delta > gap_sec) | delta.isna()
+    seg_id = new_seg.cumsum()
+    agg = g.groupby(seg_id)[ts_col].agg(["min", "max", "size"])
+    out = pd.DataFrame({
+        key: g[key].iloc[0],
+        "start_ts": agg["min"],
+        "end_ts": agg["max"],
+        "n_events": agg["size"].astype(np.int64),
+    })
+    return out.reset_index(drop=True)
+
+
+def _merge_segments_group(group: pd.DataFrame, *, gap_sec: int,
+                          key: str) -> pd.DataFrame:
+    """Phase 2: one key's segments (time-ordered, non-overlapping
+    because phase buckets partition time) → final sessions.  A
+    segment starts a new session iff the gap to the previous
+    segment's end exceeds gap_sec — the same inter-event gap the
+    single-pass rule would test, because segment boundaries within a
+    bucket already encode gaps > gap_sec."""
+    g = group.sort_values(["start_ts", "end_ts"], kind="stable")
+    gap = (g["start_ts"] - g["end_ts"].shift()).dt.total_seconds()
+    new_session = (gap > gap_sec) | gap.isna()
+    sid = new_session.cumsum().astype(np.int64) - 1
+    out = (g.assign(session_id=sid)
+            .groupby("session_id", sort=True)["n_events"].sum()
+            .reset_index())
     out.insert(0, key, g[key].iloc[0])
     out["n_events"] = out["n_events"].astype(np.int64)
     return out
 
 
 def session_windows(ds, *, key: str = "user_id", gap_sec: int = 1800,
-                    ts_col: str = "ts"):
+                    ts_col: str = "ts", phase_sec: int | None = None):
     """Inactivity-gap sessionization → (user_id, session_id,
     n_events); session_id is the 0-based per-user session index in ts
-    order."""
+    order.
+
+    Two-phase: segments within (key, phase bucket), then a per-key
+    merge over the narrow segment rows — bounds the largest task by
+    events-per-(user, bucket) instead of events-per-user, so one hot
+    key cannot OOM a worker at corpus scale.  ``phase_sec`` (default
+    16 x gap) trades bucket-group size against segment count; any
+    value yields identical results."""
     import functools
-    return ds.groupby(key).map_groups(
-        functools.partial(_sessionize_group, gap_sec=gap_sec, key=key,
+    if phase_sec is None:
+        phase_sec = max(gap_sec * 16, 3600)
+    ds = ds.map_batches(
+        functools.partial(_add_phase_bucket, phase_sec=phase_sec,
                           ts_col=ts_col),
+        batch_format="pyarrow")
+    segments = ds.groupby([key, "phase_bucket"]).map_groups(
+        functools.partial(_segments_group, gap_sec=gap_sec, key=key,
+                          ts_col=ts_col),
+        batch_format="pandas")
+    return segments.groupby(key).map_groups(
+        functools.partial(_merge_segments_group, gap_sec=gap_sec,
+                          key=key),
         batch_format="pandas")

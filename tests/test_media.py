@@ -89,3 +89,74 @@ def test_media_pipeline_over_ray(ray_session):
     rows = out.take_all()
     assert len(rows) == 2
     assert {r["media_type"] for r in rows} == {"image", "video"}
+
+
+def test_decode_media_auto_probe_fallback():
+    """No codec libs in this container: auto → stub, real → raises,
+    and a monkeypatched probe exercises the real path selection."""
+    import pytest
+
+    from gumbo_pp_ray.stages import media as m
+
+    d = m.DecodeMedia(decoder="auto")
+    assert d.mode == "fake"
+    with pytest.raises(NotImplementedError):
+        m.DecodeMedia(decoder="real")
+    with pytest.raises(ValueError):
+        m.DecodeMedia(decoder="bogus")
+
+
+def test_decode_media_real_path_with_fake_codec(monkeypatch):
+    """Simulate an importable codec: the real decode path must drive
+    it (open → size/convert/resize) and emit decoder='real' rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gumbo_pp_ray.stages import media as m
+
+    class FakeImg:
+        size = (320, 200)
+        n_frames = 1
+        def convert(self, mode):
+            return self
+        def resize(self, wh):
+            self._wh = wh
+            return self
+        def tobytes(self):
+            return bytes(range(self._wh[0] * self._wh[1]))
+
+    class FakeCodec:
+        @staticmethod
+        def open(fp):
+            return FakeImg()
+
+    monkeypatch.setattr(m, "probe_image_codec", lambda: FakeCodec)
+    d = m.DecodeMedia(decoder="auto", feat_dim=16)
+    assert d.mode == "real"
+    t = pa.table({
+        "doc_id": ["a"], "media_ref": ["img://x.jpg"],
+        "media_type": ["image"], "payload": [b"\x89PNG fake"],
+    })
+    out = d(t)
+    assert out.column("width").to_pylist() == [320]
+    assert out.column("height").to_pylist() == [200]
+    assert out.column("decoder").to_pylist() == ["real"]
+    feats = out.column("features").to_pylist()[0]
+    assert len(feats) == 16 and max(feats) <= 1.0
+
+
+def test_decode_media_real_path_bad_payload_sentinel(monkeypatch):
+    from gumbo_pp_ray.stages import media as m
+
+    class Exploding:
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image")
+
+    monkeypatch.setattr(m, "probe_image_codec", lambda: Exploding)
+    import pyarrow as pa
+    d = m.DecodeMedia(decoder="auto")
+    out = d(pa.table({"doc_id": ["a"], "media_ref": ["img://x"],
+                      "media_type": ["image"], "payload": [b"junk"]}))
+    assert out.column("width").to_pylist() == [-1]
+    assert out.column("n_frames").to_pylist() == [0]

@@ -88,3 +88,44 @@ def test_prune_link_runs():
     assert prune_link_runs(nav[:2]) == [(k, t, m, i) for i, (k, t, m, _x)
                                         in enumerate(nav[:2])]
     assert prune_link_runs([]) == []
+
+
+def test_pdf_parse_auto_probe_fallback():
+    import pytest
+
+    from gumbo_pp_ray.stages import pdf as m
+
+    p = m.PdfParse(parser="auto")
+    assert p.mode == "fake"
+    with pytest.raises(NotImplementedError):
+        m.PdfParse(parser="real")
+    with pytest.raises(ValueError):
+        m.PdfParse(parser="nope")
+
+
+def test_pdf_parse_real_path_with_fake_lib(monkeypatch):
+    import pyarrow as pa
+
+    from gumbo_pp_ray.stages import pdf as m
+
+    class FakePage:
+        def __init__(self, text):
+            self._t = text
+        def extract_text(self):
+            return self._t
+
+    class FakeReader:
+        def __init__(self, fp):
+            self.pages = [FakePage("intro para\n\nsecond para"),
+                          FakePage("last page")]
+
+    class FakeLib:
+        PdfReader = FakeReader
+
+    monkeypatch.setattr(m, "probe_pdf_lib", lambda: FakeLib)
+    p = m.PdfParse(parser="auto")
+    assert p.mode == "real"
+    out = p(pa.table({"doc_id": ["d"], "payload": [b"%PDF-1.7 fake"]}))
+    texts = out.column("text").to_pylist()
+    assert texts == ["intro para", "second para", "last page"]
+    assert out.column("page").to_pylist() == [0, 0, 1]

@@ -167,6 +167,29 @@ def test_run_extraction_resume(ray_session, tmp_path):
         == [f"doc-{i:06d}" for i in range(40)]
 
 
+def test_run_extraction_resume_uncommitted_wave(ray_session, tmp_path):
+    """Crash window between the wave-dir rename and the manifest write:
+    a final_dir WITHOUT a manifest is uncommitted — resume must clear
+    and re-run it, not wedge on os.replace into a non-empty dir."""
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    inp = str(tmp_path / "corpus")
+    out1 = str(tmp_path / "out")
+    write_corpus(inp, CorpusSpec(num_docs=20, mega_every=0), files=2)
+    s1 = run_extraction(inp, out1, files_per_wave=1, concurrency=2,
+                        batch_size=16)
+    assert s1["waves_run"] == 2
+    # simulate: wave dir committed, manifest write lost
+    os.remove(os.path.join(out1, "_lineage", "wave-00001.json"))
+    assert os.path.isdir(os.path.join(out1, "wave-00001"))
+    s2 = run_extraction(inp, out1, files_per_wave=1, concurrency=2,
+                        batch_size=16)
+    assert s2["waves_skipped"] == 1 and s2["waves_run"] == 1
+    assert s2["docs"] == 20
+    assert os.path.exists(os.path.join(out1, "_lineage",
+                                       "wave-00001.json"))
+
+
 def test_table_scrape_query_stage(ray_session):
     import ray.data
     from gumbo_pp_ray.stages.table_query import TableScrapeQuery
@@ -245,6 +268,29 @@ def test_extractor_duplicate_payload_cache():
     assert a.column("spans").to_pylist() == b.column("spans").to_pylist()
     assert a.column("n_parse_errors").to_pylist() == \
         b.column("n_parse_errors").to_pylist()
+
+
+def test_extractor_cache_keys_on_span_structure():
+    """Two payloads with identical concatenation but different span
+    boundaries must NOT share a cache entry when chunk_spans slices
+    them into different fragment groupings."""
+    p1 = "<p>alpha beta</p>"
+    p2 = "<p>gamma delta</p>"
+    whole = p1 + p2
+    rows = [
+        # doc A: two spans, chunked at 1 → parsed as two fragments
+        [{"kind": "text", "text": p1, "media_ref": "", "offset": 0},
+         {"kind": "text", "text": p2, "media_ref": "", "offset": 1}],
+        # doc B: one span with the same concatenation → one fragment
+        [{"kind": "text", "text": whole, "media_ref": "", "offset": 0}],
+    ]
+    t = pa.table({"doc_id": ["a", "b"],
+                  "spans": pa.array(rows, t_spans_type())})
+    cached = ExtractSpans(cache_size=256, chunk_spans=1)
+    plain = ExtractSpans(cache_size=0, chunk_spans=1)
+    a, b = cached(t), plain(t)
+    assert cached.cache_hits == 0          # structures differ → no reuse
+    assert a.column("spans").to_pylist() == b.column("spans").to_pylist()
 
 
 def t_spans_type():

@@ -50,6 +50,48 @@ def test_session_windows_gap_split(ray_session):
     assert rows == {(1, 0): 3, (1, 1): 2, (2, 0): 1}
 
 
+def _sessions_reference(rows, gap_sec):
+    """Single-pass local sessionization for cross-checking."""
+    out = {}
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"])):
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    for u, tss in by_user.items():
+        sid = -1
+        prev = None
+        for ts in tss:
+            if prev is None or (ts - prev).total_seconds() > gap_sec:
+                sid += 1
+            out[(u, sid)] = out.get((u, sid), 0) + 1
+            prev = ts
+    return out
+
+
+def test_session_windows_two_phase_straddles_buckets(ray_session):
+    """Sessions that straddle phase-bucket boundaries must merge in
+    phase 2: tiny phase_sec forces many straddles, and a hot user
+    owning most events exercises the skew-bounding path."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # hot user: 400 events in bursts with gaps around the 600 s gap
+    minutes = 0.0
+    for _ in range(400):
+        minutes += float(rng.choice([1, 2, 3, 15]))  # 15 min > gap
+        rows.extend(ev(1, minutes))
+    for u in range(2, 8):
+        rows.extend(ev(u, *[float(m) for m in
+                            sorted(rng.randint(0, 600, 20))]))
+    t = to_table(rows)
+    out = session_windows(ray.data.from_arrow(t).random_shuffle(seed=5),
+                          gap_sec=600, phase_sec=900)
+    got = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in out.take_all()}
+    assert got == _sessions_reference(rows, 600)
+
+
 def test_session_windows_order_independent(ray_session):
     import ray.data
     # shuffled input blocks must not change sessionization (in-group
