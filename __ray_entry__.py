@@ -136,6 +136,76 @@ def _sel_xor():
                             ^ match.attribute.exists("data-long"))
 
 
+def _sel_attr_value_is():
+    from gumbo_pp_ray.html import match
+    # M9 — exact whole-value attribute equality (reference
+    # gumbo_matchers.h:375-388): matches the span's lang="en-std"
+    return match.attribute.value.is_("lang", "en-std")
+
+
+def _sel_attr_value_empty():
+    from gumbo_pp_ray.html import match
+    # M10 — attribute present with EMPTY value (reference
+    # gumbo_matchers.h:410-431): span data-note="" iff n_chars <= 300
+    return match.attribute.value.is_empty("data-note")
+
+
+def _sel_attr_has_value():
+    from gumbo_pp_ray.html import match
+    # M10 — attribute present with NON-empty value: data-note="long"
+    return match.attribute.value.has_value("data-note")
+
+
+def _sel_content_ends_with():
+    from gumbo_pp_ray.html import match
+    # M17 — content-text suffix (intended semantics; the reference's
+    # variadic form is buggy, gumbo_matchers.h:610)
+    return match.tag.SPAN & match.content_text.ends_with("n")
+
+
+def _sel_content_is():
+    from gumbo_pp_ray.html import match
+    # M17 — content-text equality (intended semantics,
+    # gumbo_matchers.h:625)
+    return match.tag.SPAN & match.content_text.is_("fr")
+
+
+def _q_raw_slices(sf_dir: str):
+    """E2/E3 — node_inner_text / node_outer_text raw document slices
+    (reference gumbo_pp.h inner/outer accessors): the template's <p>
+    node slices back to exactly the row's text, so both accessors are
+    SQL-reproducible."""
+    from gumbo_pp_ray.html import match
+    from gumbo_pp_ray.html.parser import parse as _parse
+    from gumbo_pp_ray.html.text import inner_text, outer_text
+    from gumbo_pp_ray.html.walk import find_all, walk
+    from gumbo_pp_ray.stages.selector_query import selector_doc_html
+
+    sel = match.tag.P
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        sources = batch.column("source").to_pylist()
+        ncs = batch.column("n_chars").to_pylist()
+        out_id, out_in, out_out = [], [], []
+        for i, t, lg, src, nc in zip(ids, texts, langs, sources, ncs):
+            html = selector_doc_html(i, t, lg, src, nc)
+            doc = _parse(html)
+            for node in find_all(walk(doc), sel):
+                out_id.append(str(i))
+                out_in.append(inner_text(node, html))
+                out_out.append(outer_text(node, html))
+        return pa.table({"doc_id": pa.array(out_id, pa.string()),
+                         "inner": pa.array(out_in, pa.string()),
+                         "outer": pa.array(out_out, pa.string())})
+
+    return _docs(sf_dir, ("doc_id", "text", "lang", "source",
+                          "n_chars")).map_batches(
+        run, batch_format="pyarrow", batch_size=256)
+
+
 # --------------------------- training-data operators (dedup/analysis)
 
 def _q_token_stats(sf_dir: str):
@@ -491,6 +561,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sel_id_prefix": _sel(_sel_id_prefix),
         "sel_attr_exists": _sel(_sel_attr_exists),
         "sel_xor": _sel(_sel_xor),
+        "sel_attr_value_is": _sel(_sel_attr_value_is),
+        "sel_attr_value_empty": _sel(_sel_attr_value_empty),
+        "sel_attr_has_value": _sel(_sel_attr_has_value),
+        "sel_content_ends_with": _sel(_sel_content_ends_with),
+        "sel_content_is": _sel(_sel_content_is),
+        "raw_slices": _q_raw_slices,
         # training-data operators
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -582,6 +658,32 @@ def oracle_sql() -> dict[str, str]:
         "sel_xor": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS match_text
             FROM documents WHERE (lang = 'en') <> (n_chars > 300)
+        """,
+        "sel_attr_value_is": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS match_text
+            FROM documents WHERE lang = 'en'
+        """,
+        "sel_attr_value_empty": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS match_text
+            FROM documents WHERE n_chars <= 300
+        """,
+        "sel_attr_has_value": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS match_text
+            FROM documents WHERE n_chars > 300
+        """,
+        "sel_content_ends_with": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS match_text
+            FROM documents WHERE lang LIKE '%n'
+        """,
+        "sel_content_is": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS match_text
+            FROM documents WHERE lang = 'fr'
+        """,
+        "raw_slices": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   text AS "inner",
+                   '<p>' || text || '</p>' AS "outer"
+            FROM documents
         """,
         "token_stats": r"""
             WITH t AS (

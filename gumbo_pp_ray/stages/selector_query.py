@@ -15,8 +15,12 @@ Template (per row)::
 
   <html><head><title>t</title></head><body>
   <div id="doc-{id}" class="{lang}" data-source="{source}"><p>{text}</p></div>
-  <span id="lang-{id}" lang="{lang}-std">{lang}</span>
+  <span id="lang-{id}" lang="{lang}-std" data-note="...">{lang}</span>
   </body></html>
+
+(``data-note`` is empty for short docs and ``"long"`` for
+``n_chars > 300`` — gives the M10 empty/has-value matchers a
+selective, SQL-reproducible predicate.)
 
 The stage is a callable class: the selector is compiled/deserialized
 ONCE per actor, not per batch.
@@ -36,10 +40,12 @@ def selector_doc_html(doc_id, text, lang, source, n_chars=None) -> str:
     # matchers (attribute.exists, xor combinations) a selective,
     # SQL-reproducible predicate
     long_attr = " data-long=\"y\"" if (n_chars or 0) > 300 else ""
+    note = "long" if (n_chars or 0) > 300 else ""
     return (f"<html><head><title>t</title></head><body>"
             f"<div id=\"doc-{doc_id}\" class=\"{lang}\" "
             f"data-source=\"{source}\"{long_attr}><p>{text}</p></div>"
-            f"<span id=\"lang-{doc_id}\" lang=\"{lang}-std\">{lang}</span>"
+            f"<span id=\"lang-{doc_id}\" lang=\"{lang}-std\" "
+            f"data-note=\"{note}\">{lang}</span>"
             f"</body></html>")
 
 
