@@ -18,13 +18,16 @@ observable behavior (its test documents + our conformance corpus):
   tokenizer does), raw source slices recoverable via true offsets.
 
 Also implemented: foster parenting of non-whitespace in-table text
-(re-parented before the table) and a simplified adoption agency
+(re-parented before the table); a simplified adoption agency
 (active-formatting-elements list with table-boundary markers and
 reconstruction — the ``<b><i>x</b>y</i>`` family produces the
-spec/gumbo tree; the full furthest-block/Noah's-Ark machinery is not
-needed at this fidelity bar). Remaining documented divergence:
-``</p>`` with no open ``p`` does not synthesize an empty ``p``.
-Recoverable errors are counted.
+spec/gumbo tree) including the single-furthest-block case
+(``<b><p>x</b>y</p>`` → ``<b></b><p><b>x</b>y</p>``, see _adopt);
+``</p>`` with no open ``p`` synthesizes an empty ``p`` (WHATWG
+in-body rule). Remaining documented divergences: multi-iteration
+adoption (several nested furthest blocks) falls back to pop-through
+recovery, and Noah's Ark clause is not enforced. Recoverable errors
+are counted.
 
 Designed for the hot path of a Ray actor pool: one module-level pass,
 no recursion, compiled regexes shared per process.
@@ -96,6 +99,18 @@ _FORMATTING = frozenset(
 # boundaries formatting must not leak across (spec: marker entries)
 _AFE_MARKERS = frozenset(("table", "td", "th", "caption"))
 _AFE_MARKER = object()
+
+# the WHATWG "special" category (trimmed to tags this parser emits) —
+# used as the furthest-block test in the adoption agency
+_SPECIAL = frozenset((
+    "address article aside blockquote body button caption center col "
+    "colgroup dd details dir div dl dt embed fieldset figcaption "
+    "figure footer form frame frameset h1 h2 h3 h4 h5 h6 head header "
+    "hgroup hr html iframe img input li listing main marquee menu "
+    "nav noembed noframes noscript object ol p plaintext pre script "
+    "section select source style summary table tbody td template "
+    "textarea tfoot th thead title tr ul wbr"
+).split())
 
 _START_TAG_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
@@ -218,6 +233,44 @@ class _TreeBuilder:
                 self._push(el)
                 entry[2] = el
                 on_stack.add(id(el))
+
+    def _adopt(self, i: int, start: int, end: int):
+        """Furthest-block adoption agency (single-iteration form for
+        the common stack shape [..., ancestor, fe, fb(top)]): the
+        block fb moves up to fe's parent, fb's current children are
+        wrapped in a CLOSED clone of fe, fe closes here and leaves the
+        stack and the afe list.  Subsequent content lands in fb,
+        outside any reopened formatting — the observable behavior the
+        spec's algorithm produces for <b><p>x</b>y</p>
+        (→ <b></b><p><b>x</b>y</p>)."""
+        fe, fb = self.stack[i], self.stack[i + 1]
+        ancestor = self.stack[i - 1]
+        self.parse_errors += 1
+        # detach fb from fe, reindex fe's remaining children
+        kids = fe._children
+        del kids[fb.index_within_parent]
+        for j in range(fb.index_within_parent, len(kids)):
+            kids[j].index_within_parent = j
+        # clone wraps fb's children accumulated so far (closed, empty
+        # original-tag slices at fb's insertion point); created even
+        # when empty — the spec's tree keeps the empty clone
+        clone = Element(fe.tag, dict(fe.attrs), fb.start_tag_end,
+                        fb.start_tag_end, implied=True)
+        clone._children = fb._children
+        for c in clone._children:
+            c.parent = clone
+        clone.parent = fb
+        clone.index_within_parent = 0
+        fb._children = [clone]
+        # fb becomes ancestor's last child
+        fb.parent = ancestor
+        fb.index_within_parent = len(ancestor._children)
+        ancestor._children.append(fb)
+        # fe closes at this end tag and leaves stack + afe
+        fe.end_tag_start = start
+        fe.end = end
+        del self.stack[i]
+        self._afe_remove(fe)
 
     # -- low-level insertion --
 
@@ -424,12 +477,22 @@ class _TreeBuilder:
                 self._afe_clear_to_marker()
             return
         if tag in _FORMATTING:
-            # element not at top: pop to it (popped formatting
+            # element not at top: adoption agency.  The furthest-block
+            # case (a SPECIAL element open above the formatting
+            # element, e.g. <b><p>x</b>y</p>) reparents the block to
+            # the formatting element's parent and wraps the block's
+            # children in a closed clone — matching the gumbo/browser
+            # tree (<b></b><p><b>x</b>y</p>, later text NOT bold).
+            # Otherwise: pop to the element (popped formatting
             # elements STAY in the afe list → reconstructed before the
-            # next insertion, HTML5 adoption-agency behavior for the
-            # <b><i>x</b>y</i> family); unmatched → drop afe entry only
+            # next insertion — the <b><i>x</b>y</i> family); unmatched
+            # → drop afe entry only.
             for i in range(len(self.stack) - 1, 0, -1):
                 if self.stack[i].tag == tag:
+                    if (i == len(self.stack) - 2
+                            and self.stack[-1].tag in _SPECIAL):
+                        self._adopt(i, start, end)
+                        return
                     while len(self.stack) - 1 > i:
                         self.parse_errors += 1
                         self._pop(start)
@@ -440,6 +503,21 @@ class _TreeBuilder:
                     return
             self.parse_errors += 1
             self._afe_remove_tag(tag)
+            return
+        if tag == "p" and not any(
+                getattr(nd, "tag", "") == "p" for nd in self.stack[1:]):
+            # WHATWG in-body "</p>" with no p in scope: parse error,
+            # act as if <p> was seen, then close it — synthesizes an
+            # EMPTY p at this position (gumbo does the same)
+            self.parse_errors += 1
+            if self.mode != _IN_BODY:
+                self._ensure_body(start)
+            if self.afe_dirty:
+                self._reconstruct_afe(start)
+            el = Element("p", {}, start, start, implied=True)
+            self._append(el)
+            el.end_tag_start = start
+            el.end = end
             return
         if self.mode != _IN_BODY and tag in ("body", "html"):
             self._ensure_body(start)

@@ -85,3 +85,74 @@ CASES = [
 def test_realworld_case(name, html, check):
     d = parse(html)
     assert check(d), name
+
+
+# ---- misnesting family: adoption agency furthest-block + </p> synthesis
+
+
+def _tags(node):
+    out = []
+    for c in node.children:
+        if getattr(c, "tag", ""):
+            out.append((c.tag, _tags(c)))
+        elif getattr(c, "text", "").strip():
+            out.append(("#text", c.text))
+    return out
+
+
+def test_adoption_agency_furthest_block():
+    # spec example family: later text must NOT be inside the
+    # formatting element (the defining adoption-agency behavior)
+    from gumbo_pp_ray.html.parser import parse
+    doc = parse("<b><p>x</b>y</p>")
+    body = doc.children[0].children[1]
+    assert _tags(body) == [
+        ("b", []),
+        ("p", [("b", [("#text", "x")]), ("#text", "y")]),
+    ]
+    assert doc.parse_errors == 1
+
+
+def test_adoption_agency_furthest_block_with_leading_text():
+    from gumbo_pp_ray.html.parser import parse
+    doc = parse("<b>1<p>2</b>3</p>")
+    body = doc.children[0].children[1]
+    assert _tags(body) == [
+        ("b", [("#text", "1")]),
+        ("p", [("b", [("#text", "2")]), ("#text", "3")]),
+    ]
+
+
+def test_adoption_agency_empty_furthest_block():
+    # spec's own misnested-tags example: <b><p></b>TEST</p>
+    from gumbo_pp_ray.html.parser import parse
+    doc = parse("<b><p></b>TEST</p>")
+    body = doc.children[0].children[1]
+    assert _tags(body) == [
+        ("b", []),
+        ("p", [("b", []), ("#text", "TEST")]),
+    ]
+
+
+def test_stray_end_p_synthesizes_empty_p():
+    from gumbo_pp_ray.html.parser import parse
+    doc = parse("x</p>y")
+    body = doc.children[0].children[1]
+    assert _tags(body) == [("#text", "x"), ("p", []), ("#text", "y")]
+    assert doc.parse_errors == 1
+    # inside a div too
+    doc = parse("<div></p></div>")
+    body = doc.children[0].children[1]
+    assert _tags(body) == [("div", [("p", [])])]
+
+
+def test_adoption_agency_simple_family_still_reconstructs():
+    # the no-furthest-block family must keep the reconstruction path:
+    # <b><i>x</b>y</i> → b>i(x), i(y)
+    from gumbo_pp_ray.html.parser import parse
+    doc = parse("<b><i>x</b>y</i>")
+    body = doc.children[0].children[1]
+    assert _tags(body) == [
+        ("b", [("i", [("#text", "x")])]),
+        ("i", [("#text", "y")]),
+    ]
