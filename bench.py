@@ -174,6 +174,46 @@ BENCHES = {
 }
 
 
+def _prev_bench() -> dict | None:
+    """Latest committed BENCH_r{N}.json in the repo dir — the previous
+    round's numbers, for self-reporting regressions."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            d = json.load(f)
+        if "parsed" in d:           # driver wrapper format
+            d = d["parsed"]
+        d["_round"] = best[0]
+        return d
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _vs_prev(line: dict) -> dict | None:
+    prev = _prev_bench()
+    if not prev or prev.get("unit") != "sec":
+        return None
+    out = {"round": prev["_round"]}
+    if prev.get("value"):
+        out["extract_speedup"] = round(prev["value"] / line["value"], 3)
+    pq_ = prev.get("queries") or {}
+    out["query_speedup"] = {
+        k: round(pq_[k] / v, 3)
+        for k, v in line["queries"].items() if pq_.get(k)}
+    return out
+
+
 def run_all() -> dict:
     import ray
 
@@ -198,6 +238,9 @@ def run_all() -> dict:
         "docs": headline["docs"],
         "docs_per_sec": round(headline["docs_per_sec"], 1),
     }
+    vs = _vs_prev(line)
+    if vs is not None:
+        line["vs_prev"] = vs    # >1.0 = faster than the prior round
     ray.shutdown()
     return line
 

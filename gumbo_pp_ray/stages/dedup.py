@@ -340,121 +340,119 @@ def _doc_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
             % np.uint64(num_buckets)).astype(np.int64)
 
 
-def _pair_bucket(a: np.ndarray, b: np.ndarray, num_buckets: int
-                 ) -> np.ndarray:
-    u = (a.astype(np.uint64) * _MIX_A) ^ (b.astype(np.uint64) * _MIX_B)
-    return (u % np.uint64(num_buckets)).astype(np.int64)
-
-
 def _cogroup_sig_rows(t: pa.Table, *, num_buckets: int) -> pa.Table:
     """Signatures → co-group rows (src=0): one row per doc, bucketed
-    by hash(doc_id)."""
+    by hash(doc_id).  ``other`` is the pair's second id slot, unused
+    for signature rows."""
     t2 = _sig_to_fixed_binary(t, "sig")
     ids = t2.column("doc_id").to_numpy(zero_copy_only=False)
     n = len(t2)
     return pa.table({
         "bucket": pa.array(_doc_bucket(ids, num_buckets), pa.int64()),
         "doc_id": t2.column("doc_id").cast(pa.int64()),
-        "doc_a": pa.nulls(n, pa.int64()),
-        "doc_b": pa.nulls(n, pa.int64()),
-        "is_a": pa.nulls(n, pa.int8()),
+        "other": pa.nulls(n, pa.int64()),
         "src": pa.array(np.zeros(n, dtype=np.int8)),
         "sig": t2.column("sig"),
     })
 
 
-def _cogroup_half_rows(t: pa.Table, *, num_buckets: int, sig_width: int
-                       ) -> pa.Table:
-    """Candidate pairs → co-group rows (src=1): each pair explodes
-    into two halves, one keyed (and bucketed) by each member doc."""
+def _cogroup_pair_rows_a(t: pa.Table, *, num_buckets: int,
+                         sig_width: int) -> pa.Table:
+    """Candidate pairs → co-group rows (src=1) keyed by doc_a
+    (doc_id=doc_a, other=doc_b); sig slot empty until attached."""
     a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
     b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(a)
-    doc_id = np.concatenate([a, b])
     return pa.table({
-        "bucket": pa.array(_doc_bucket(doc_id, num_buckets), pa.int64()),
-        "doc_id": pa.array(doc_id, pa.int64()),
-        "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
-        "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
-        "is_a": pa.array(
-            np.concatenate([np.ones(n, dtype=np.int8),
-                            np.zeros(n, dtype=np.int8)])),
-        "src": pa.array(np.ones(2 * n, dtype=np.int8)),
-        "sig": pa.nulls(2 * n, pa.binary(sig_width)),
+        "bucket": pa.array(_doc_bucket(a, num_buckets), pa.int64()),
+        "doc_id": pa.array(a, pa.int64()),
+        "other": pa.array(b, pa.int64()),
+        "src": pa.array(np.ones(n, dtype=np.int8)),
+        "sig": pa.nulls(n, pa.binary(sig_width)),
     })
 
 
-def _add_pair_bucket(t: pa.Table, *, num_buckets: int) -> pa.Table:
-    a = t.column("doc_a").to_numpy(zero_copy_only=False)
-    b = t.column("doc_b").to_numpy(zero_copy_only=False)
-    return t.append_column(
-        "pair_bucket", pa.array(_pair_bucket(a, b, num_buckets),
-                                pa.int64()))
-
-
-def _attach_sigs_group(group: pa.Table) -> pa.Table:
-    """Bucketed co-group stage 1: the group holds the signatures of
-    every doc hashing to this bucket (src=0) plus every candidate-pair
-    HALF keyed by a doc in this bucket (src=1).  Attaches each half's
-    signature with a vectorized index_in/take — no Python dict, no
-    per-row loop."""
+def _attach_a_group(group: pa.Table) -> pa.Table:
+    """Verify stage 1 (one bucket group): signatures of every doc
+    hashing here (src=0) + candidate pairs keyed by doc_a (src=1).
+    Dedupes the pairs (duplicates from multiple matching bands share
+    doc_a, hence this bucket — np.unique is a GLOBAL exact distinct)
+    and attaches sig_a via vectorized index_in/take.  Emits co-group
+    rows for stage 2, re-keyed by doc_b."""
     src = group.column("src")
     sig_rows = group.filter(pa.compute.equal(src, 0))
-    half_rows = group.filter(pa.compute.equal(src, 1))
-    empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "is_a": pa.array([], pa.int8()),
+    pair_rows = group.filter(pa.compute.equal(src, 1))
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "other": pa.array([], pa.int64()),
+                      "src": pa.array([], pa.int8()),
                       "sig": pa.array([], group.column("sig").type)})
-    if half_rows.num_rows == 0 or sig_rows.num_rows == 0:
+    if pair_rows.num_rows == 0 or sig_rows.num_rows == 0:
         return empty
-    idx = pa.compute.index_in(half_rows.column("doc_id"),
+    a = pair_rows.column("doc_id").to_numpy(zero_copy_only=False)
+    b = pair_rows.column("other").to_numpy(zero_copy_only=False)
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    ua, ub = uniq[:, 0], uniq[:, 1]
+    idx = pa.compute.index_in(pa.array(ua, pa.int64()),
                               value_set=sig_rows.column("doc_id"))
     found = pa.compute.is_valid(idx)
-    half_rows = half_rows.filter(found)
-    idx = idx.filter(found)
+    fnp = found.to_numpy(zero_copy_only=False)
+    sig_a = pa.compute.take(sig_rows.column("sig").combine_chunks(),
+                            idx.filter(found))
+    # placeholder bucket: stage 2's wrapper re-buckets by doc_b
     return pa.table({
-        "doc_a": half_rows.column("doc_a"),
-        "doc_b": half_rows.column("doc_b"),
-        "is_a": half_rows.column("is_a"),
-        "sig": pa.compute.take(
-            sig_rows.column("sig").combine_chunks(), idx),
+        "bucket": pa.array(np.zeros(int(fnp.sum()), dtype=np.int64)),
+        "doc_id": pa.array(ua[fnp], pa.int64()),      # doc_a
+        "other": pa.array(ub[fnp], pa.int64()),       # doc_b
+        "src": pa.array(np.ones(int(fnp.sum()), dtype=np.int8)),
+        "sig": sig_a,                                 # sig_a attached
     })
 
 
-def _combine_halves_group(group: pa.Table, *, threshold: float
-                          ) -> pa.Table:
-    """Bucketed co-group stage 2: the group holds both signature-
-    carrying halves of every pair hashing to this bucket.  Sorts by
-    (doc_a, doc_b, is_a) so halves are adjacent, pairs them with a
-    vectorized adjacency check, and emits pairs whose slot-agreement
-    estimate ≥ threshold."""
+def _rekey_by_other(t: pa.Table, *, num_buckets: int) -> pa.Table:
+    """Stage-1 output → stage-2 co-group rows: key/bucket by doc_b
+    (the pair's other id), carrying sig_a."""
+    a = t.column("doc_id").to_numpy(zero_copy_only=False)
+    b = t.column("other").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bucket": pa.array(_doc_bucket(b, num_buckets), pa.int64()),
+        "doc_id": pa.array(b, pa.int64()),            # doc_b
+        "other": pa.array(a, pa.int64()),             # doc_a
+        "src": t.column("src"),
+        "sig": t.column("sig"),
+    })
+
+
+def _attach_b_group(group: pa.Table, *, threshold: float) -> pa.Table:
+    """Verify stage 2 (one bucket group): signatures (src=0) +
+    sig_a-carrying pairs keyed by doc_b (src=1).  Looks up sig_b,
+    computes the rowwise slot-agreement estimate (the unbiased MinHash
+    Jaccard estimator) and emits pairs ≥ threshold."""
+    src = group.column("src")
+    sig_rows = group.filter(pa.compute.equal(src, 0))
+    pair_rows = group.filter(pa.compute.equal(src, 1))
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jaccard_est_milli": pa.array([], pa.int64())})
-    if group.num_rows < 2:
+    if pair_rows.num_rows == 0 or sig_rows.num_rows == 0:
         return empty
-    t = group.sort_by([("doc_a", "ascending"), ("doc_b", "ascending"),
-                       ("is_a", "descending")])  # A half (is_a=1) first
-    da = t.column("doc_a").to_numpy(zero_copy_only=False)
-    db = t.column("doc_b").to_numpy(zero_copy_only=False)
-    isa = t.column("is_a").to_numpy(zero_copy_only=False)
-    # rows i, i+1 form a complete pair iff same (doc_a, doc_b) and
-    # is_a = (1, 0); anything unmatched is dropped
-    n = len(da)
-    first = np.zeros(n, dtype=bool)
-    first[:-1] = ((da[:-1] == da[1:]) & (db[:-1] == db[1:])
-                  & (isa[:-1] == 1) & (isa[1:] == 0))
-    ai = np.nonzero(first)[0]
-    if len(ai) == 0:
+    idx = pa.compute.index_in(pair_rows.column("doc_id"),
+                              value_set=sig_rows.column("doc_id"))
+    found = pa.compute.is_valid(idx)
+    pair_rows = pair_rows.filter(found)
+    if pair_rows.num_rows == 0:
         return empty
-    mat = _fixed_binary_to_matrix(t.column("sig"))
-    jv = (mat[ai] == mat[ai + 1]).mean(axis=1)
+    sig_b = pa.compute.take(sig_rows.column("sig").combine_chunks(),
+                            idx.filter(found))
+    sa = _fixed_binary_to_matrix(pair_rows.column("sig"))
+    sb = _fixed_binary_to_matrix(sig_b)
+    jv = (sa == sb).mean(axis=1)
     keep = jv >= threshold
     if not keep.any():
         return empty
     return pa.table({
-        "doc_a": pa.array(da[ai][keep], pa.int64()),
-        "doc_b": pa.array(db[ai][keep], pa.int64()),
+        "doc_a": pair_rows.column("other").filter(pa.array(keep)),
+        "doc_b": pair_rows.column("doc_id").filter(pa.array(keep)),
         "jaccard_est_milli": pa.array(
             (jv[keep] * 1000).astype(np.int64), pa.int64()),
     })
@@ -474,14 +472,22 @@ def _distinct_pairs(ds, extra_cols: tuple = ()):
 def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
                       shingle_words=3, threshold=0.5, seed=42,
                       concurrency=None, pair_dedup="shuffle",
-                      band_exchange="ids", verify="cogroup",
-                      num_partitions=None):
+                      band_exchange="auto", verify="cogroup",
+                      num_partitions=None,
+                      auto_signatures_max_docs=1_000_000):
     """Full MinHash-LSH near-dup candidate pipeline over a documents
     Dataset → distinct (doc_a, doc_b, jaccard_est_milli).
 
     ``band_exchange`` controls what the bucket shuffle moves:
 
-    * ``"ids"`` (default, the SCALE shape): band rows carry only
+    * ``"auto"`` (default): cost-based plan choice — corpora up to
+      ``auto_signatures_max_docs`` (1M, ≈16 GB exchange at 128 perms)
+      use ``"signatures"`` (ONE shuffle, verification in-bucket, no
+      extra passes); larger corpora use ``"ids"`` whose exchange is
+      1000x narrower.  Both plans are fully distributed and
+      driver-free; the choice costs one ``ds.count()`` (metadata-fast
+      for parquet reads).
+    * ``"ids"`` (the SCALE shape): band rows carry only
       (band_key, doc_id) — ~16 B/doc exchanged instead of
       bands x signature ≈ 16 KB/doc (a 1000x reduction; at 10^12 docs
       the difference is petabytes). Candidate pairs come out id-only
@@ -492,13 +498,12 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
 
     ``verify`` (ids mode only) selects how signatures meet candidates:
 
-    * ``"cogroup"`` (default): a bucketed distributed co-group.  Each
-      candidate pair explodes into two halves keyed by its member
-      docs; halves union with the signature rows and ONE
-      ``groupby(hash(doc_id) % B)`` co-locates every half with its
-      doc's signature (vectorized index_in/take attach), then a second
-      ``groupby(hash(pair) % B)`` co-locates the two signature-
-      carrying halves and a vectorized adjacency pass computes the
+    * ``"cogroup"`` (default): two bucketed distributed co-groups.
+      Pairs keyed by doc_a union with the signature rows and ONE
+      ``groupby(hash % B)`` attaches sig_a (vectorized index_in/take;
+      an in-group np.unique doubles as the GLOBAL pair distinct since
+      a pair's duplicates share doc_a); the rows re-key by doc_b and
+      a second co-group attaches sig_b and computes the vectorized
       slot-agreement estimate.  Fully lazy Dataset-out; nothing
       pair-set-sized ever lands on the driver — on boilerplate-heavy
       corpora the candidate set is O(corpus), so this is the only
@@ -523,6 +528,16 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
     from ..state.sizing import default_pool_size
     if concurrency is None:
         concurrency = default_pool_size()
+    if band_exchange == "auto":
+        n_docs = ds.count()
+        band_exchange = ("signatures"
+                         if n_docs <= auto_signatures_max_docs
+                         else "ids")
+        if num_partitions is None:
+            # shuffle partition count from DATA size, not pool size:
+            # tiny corpora pay ~fixed cost per sort partition, huge
+            # corpora need enough partitions to bound per-task memory
+            num_partitions = max(8, min(65536, -(-n_docs // 10_000)))
     if num_partitions is None:
         num_partitions = max(8, default_pool_size())
     sigs = ds.map_batches(
@@ -535,7 +550,8 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
         bandrows = sigs.map_batches(
             functools.partial(lsh_bands, bands=bands, rows=rows),
             batch_format="pyarrow")
-        pairs = bandrows.groupby("band_key").map_groups(
+        pairs = bandrows.groupby(
+            "band_key", num_partitions=num_partitions).map_groups(
             functools.partial(bucket_candidate_pairs, threshold=threshold),
             batch_format="pyarrow")
         if pair_dedup == "shuffle":
@@ -553,33 +569,42 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
         functools.partial(lsh_bands, bands=bands, rows=rows,
                           carry_signature=False),
         batch_format="pyarrow")
-    cand = bandrows.groupby("band_key").map_groups(
+    cand = bandrows.groupby(
+        "band_key", num_partitions=num_partitions).map_groups(
         bucket_candidate_ids, batch_format="pyarrow")
+
+    if verify == "cogroup":
+        # TWO bucketed co-groups: attach sig_a (keyed by doc_a, with
+        # the in-group np.unique acting as the global pair distinct —
+        # all duplicates of a pair share doc_a, hence a bucket), then
+        # attach sig_b + verify (keyed by doc_b).  No separate
+        # pre-dedup shuffle needed.
+        sig_rows = sigs.map_batches(
+            functools.partial(_cogroup_sig_rows,
+                              num_buckets=num_partitions),
+            batch_format="pyarrow")
+        pair_rows = cand.map_batches(
+            functools.partial(_cogroup_pair_rows_a,
+                              num_buckets=num_partitions,
+                              sig_width=num_perm * 8),
+            batch_format="pyarrow")
+        with_a = sig_rows.union(pair_rows).groupby(
+            "bucket", num_partitions=num_partitions).map_groups(
+            _attach_a_group, batch_format="pyarrow")
+        stage2 = with_a.map_batches(
+            functools.partial(_rekey_by_other,
+                              num_buckets=num_partitions),
+            batch_format="pyarrow")
+        return sig_rows.union(stage2).groupby(
+            "bucket", num_partitions=num_partitions).map_groups(
+            functools.partial(_attach_b_group, threshold=threshold),
+            batch_format="pyarrow")
+
     if pair_dedup == "shuffle":
         cand = _distinct_pairs(cand)
     else:
         cand = cand.repartition(1).map_batches(
             _dedupe_pairs_local, batch_format="pyarrow", batch_size=None)
-
-    if verify == "cogroup":
-        sig_rows = sigs.map_batches(
-            functools.partial(_cogroup_sig_rows,
-                              num_buckets=num_partitions),
-            batch_format="pyarrow")
-        half_rows = cand.map_batches(
-            functools.partial(_cogroup_half_rows,
-                              num_buckets=num_partitions,
-                              sig_width=num_perm * 8),
-            batch_format="pyarrow")
-        attached = sig_rows.union(half_rows).groupby("bucket").map_groups(
-            _attach_sigs_group, batch_format="pyarrow")
-        paired = attached.map_batches(
-            functools.partial(_add_pair_bucket,
-                              num_buckets=num_partitions),
-            batch_format="pyarrow")
-        return paired.groupby("pair_bucket").map_groups(
-            functools.partial(_combine_halves_group, threshold=threshold),
-            batch_format="pyarrow")
 
     # verify == "local": eager driver-side shortcut for small corpora
     cand_rows = cand.take_all()
