@@ -29,7 +29,7 @@ from .dom import (
     Element,
     TextNode,
 )
-from .parser import parse
+from .parser import ParseOptions, parse
 from .walk import walk, subtree, walk_from, find_first, find_all, find_some
 from .text import content_text, inner_text, outer_text
 from . import select as match
@@ -38,7 +38,7 @@ from .extract import extract_spans, ExtractProfile, DEFAULT_PROFILE
 __all__ = [
     "DOCUMENT", "ELEMENT", "TEXT", "CDATA", "COMMENT", "WHITESPACE",
     "TEMPLATE", "KIND_NAMES", "Node", "Document", "Element", "TextNode",
-    "parse", "walk", "subtree", "walk_from", "find_first", "find_all",
+    "parse", "ParseOptions", "walk", "subtree", "walk_from", "find_first", "find_all",
     "find_some", "content_text", "inner_text", "outer_text", "match",
     "extract_spans", "ExtractProfile", "DEFAULT_PROFILE",
 ]

@@ -100,7 +100,7 @@ class Node:
 
 class Document(Node):
     __slots__ = ("_children", "doctype", "start", "end", "source_len",
-                 "parse_errors")
+                 "parse_errors", "errors")
 
     def __init__(self):
         self.kind = DOCUMENT
@@ -112,6 +112,7 @@ class Document(Node):
         self.end = 0
         self.source_len = 0
         self.parse_errors = 0
+        self.errors = []        # recorded (offset, code), see ParseOptions
 
     @property
     def children(self):

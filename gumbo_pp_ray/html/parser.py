@@ -144,6 +144,37 @@ _AFTER_HEAD = 3
 _IN_BODY = 4
 
 
+class ParseOptions:
+    """Parse-options pass-through (reference ``gumbo_range(html,
+    options)`` accepts GumboOptions, src/gumbo_pp.cpp:24-34):
+
+    * ``max_errors`` — cap on RECORDED error positions (``doc.errors``
+      list of (offset, code) tuples); -1 = unlimited.  Like gumbo's
+      max_errors it limits the record, never the recovery —
+      ``doc.parse_errors`` always counts every error.
+    * ``stop_on_first_error`` — abandon the parse at the first
+      recoverable error; the tree contains everything built so far
+      (gumbo's stop_on_first_error semantics).
+    * ``fragment_context`` — parse as a fragment inside the named
+      element (gumbo_parse_with_options' fragment mode): structure
+      synthesis still provides the implied html/body scaffold, and
+      RAWTEXT/RCDATA contexts ("script", "title", ...) treat the whole
+      input as that element's text.
+    """
+
+    __slots__ = ("max_errors", "stop_on_first_error", "fragment_context")
+
+    def __init__(self, max_errors: int = -1,
+                 stop_on_first_error: bool = False,
+                 fragment_context: str | None = None):
+        self.max_errors = max_errors
+        self.stop_on_first_error = stop_on_first_error
+        self.fragment_context = fragment_context
+
+
+DEFAULT_OPTIONS = ParseOptions()
+
+
 def _decode(raw: str) -> str:
     return unescape(raw) if "&" in raw else raw
 
@@ -170,9 +201,10 @@ def _parse_attrs(raw: str) -> dict:
 
 class _TreeBuilder:
     __slots__ = ("doc", "stack", "mode", "html", "head", "body",
-                 "parse_errors", "n", "afe", "afe_dirty")
+                 "parse_errors", "n", "afe", "afe_dirty", "errors",
+                 "max_errors")
 
-    def __init__(self, source_len: int):
+    def __init__(self, source_len: int, max_errors: int = -1):
         self.doc = Document()
         self.doc.end = self.doc.source_len = source_len
         self.stack = [self.doc]
@@ -188,6 +220,15 @@ class _TreeBuilder:
         # listed — reconstruction only runs then (hot-path guard)
         self.afe: list = []
         self.afe_dirty = False
+        # recorded (offset, code) tuples, capped at max_errors (the
+        # COUNT in parse_errors is never capped — gumbo semantics)
+        self.errors: list = []
+        self.max_errors = max_errors
+
+    def error(self, pos: int, code: str):
+        self.parse_errors += 1
+        if self.max_errors < 0 or len(self.errors) < self.max_errors:
+            self.errors.append((pos, code))
 
     # -- active formatting elements (adoption-agency-lite) --
 
@@ -245,7 +286,7 @@ class _TreeBuilder:
         (→ <b></b><p><b>x</b>y</p>)."""
         fe, fb = self.stack[i], self.stack[i + 1]
         ancestor = self.stack[i - 1]
-        self.parse_errors += 1
+        self.error(start, "adoption-agency")
         # detach fb from fe, reindex fe's remaining children
         kids = fe._children
         del kids[fb.index_within_parent]
@@ -333,7 +374,7 @@ class _TreeBuilder:
         if self.mode == _BEFORE_HTML and not self.doc.doctype:
             self.doc.doctype = raw
         else:
-            self.parse_errors += 1
+            self.error(start, "duplicate-doctype")
 
     def comment(self, text: str, start: int, end: int):
         self._append(TextNode(COMMENT, text, start, end))
@@ -360,7 +401,7 @@ class _TreeBuilder:
         # table (gumbo does this; whitespace stays in the table)
         if self.stack[-1].tag in _TABLE_SCAFFOLD:
             self._foster_append(node)
-            self.parse_errors += 1
+            self.error(start, "foster-parented-text")
         else:
             if self.afe_dirty:
                 self._reconstruct_afe(start)
@@ -387,7 +428,7 @@ class _TreeBuilder:
             if tag not in ("html", "head", "body"):
                 return self._insert_element(tag, attrs, start, end,
                                             self_closing)
-            self.parse_errors += 1      # duplicate structural tag: ignore
+            self.error(start, "duplicate-structural-tag")
             top = self.stack[-1]
             return top if isinstance(top, Element) else None
         if self.mode == _BEFORE_HTML:
@@ -430,7 +471,7 @@ class _TreeBuilder:
                 return el
             self._ensure_body(start)
         if self.mode == _IN_BODY and tag in ("html", "head", "body"):
-            self.parse_errors += 1      # duplicate structural tag: ignore
+            self.error(start, "duplicate-structural-tag")
             return self.stack[-1] if isinstance(self.stack[-1], Element) else None
         return self._insert_element(tag, attrs, start, end, self_closing)
 
@@ -494,14 +535,14 @@ class _TreeBuilder:
                         self._adopt(i, start, end)
                         return
                     while len(self.stack) - 1 > i:
-                        self.parse_errors += 1
+                        self.error(start, "misnested-end-tag")
                         self._pop(start)
                     el = self.stack.pop()
                     el.end_tag_start = start
                     el.end = end
                     self._afe_remove(el)
                     return
-            self.parse_errors += 1
+            self.error(start, "unmatched-end-tag")
             self._afe_remove_tag(tag)
             return
         if tag == "p" and not any(
@@ -509,7 +550,7 @@ class _TreeBuilder:
             # WHATWG in-body "</p>" with no p in scope: parse error,
             # act as if <p> was seen, then close it — synthesizes an
             # EMPTY p at this position (gumbo does the same)
-            self.parse_errors += 1
+            self.error(start, "stray-end-p")
             if self.mode != _IN_BODY:
                 self._ensure_body(start)
             if self.afe_dirty:
@@ -537,7 +578,7 @@ class _TreeBuilder:
                 # errors
                 while len(self.stack) - 1 > i:
                     if self.stack[-1].end <= self.stack[-1].start_tag_end:
-                        self.parse_errors += 1
+                        self.error(start, "misnested-end-tag")
                     self._pop(start)
                 el = self.stack.pop()
                 el.end_tag_start = start
@@ -550,7 +591,7 @@ class _TreeBuilder:
                     # offsets, keep on stack.
                     self.stack.append(el)
                 return
-        self.parse_errors += 1          # unmatched end tag: ignored
+        self.error(start, "unmatched-end-tag")
 
     def finish(self):
         if self.mode != _IN_BODY:
@@ -560,17 +601,38 @@ class _TreeBuilder:
         return self.doc
 
 
-def parse(html: str) -> Document:
+def parse(html: str, options: ParseOptions | None = None) -> Document:
     """Parse an HTML document → Document tree (gumbo_range analogue,
     reference src/gumbo_pp.cpp:24-34). Never raises on malformed input;
-    recoverable errors are counted in ``doc.parse_errors``... exposed as
-    the ``parse_errors`` attribute set on the returned Document."""
+    recoverable errors are counted in ``doc.parse_errors`` and recorded
+    (capped by ``options.max_errors``) in ``doc.errors``."""
+    opts = options or DEFAULT_OPTIONS
     n = len(html)
-    tb = _TreeBuilder(n)
+    tb = _TreeBuilder(n, max_errors=opts.max_errors)
     pos = 0
     find = html.find
     startswith = html.startswith
+    ctx = opts.fragment_context
+    if ctx:
+        # fragment mode: pre-open the scaffold and the context element
+        tb._ensure_body(0)
+        if ctx not in ("body", "html"):
+            if ctx in _RAWTEXT_CLOSE:
+                # RAWTEXT/RCDATA context: whole input is the element text
+                el = Element(ctx, {}, 0, 0, implied=True)
+                tb._push(el)
+                if html:
+                    txt = (_decode(html) if ctx in RCDATA_ELEMENTS
+                           else html)
+                    tb._append(TextNode(
+                        WHITESPACE if _is_ws(html) else TEXT, txt, 0, n))
+                pos = n
+            else:
+                tb._push(Element(ctx, {}, 0, 0, implied=True))
+    stop = opts.stop_on_first_error
     while pos < n:
+        if stop and tb.parse_errors:
+            break
         lt = find("<", pos)
         if lt < 0:
             tb.text(html[pos:], pos, n)
@@ -583,7 +645,7 @@ def parse(html: str) -> Document:
                 close = find("-->", lt + 4)
                 if close < 0:
                     tb.comment(html[lt + 4:], lt, n)
-                    tb.parse_errors += 1
+                    tb.error(lt, "eof-in-comment")
                     pos = n
                 else:
                     tb.comment(html[lt + 4: close], lt, close + 3)
@@ -592,7 +654,7 @@ def parse(html: str) -> Document:
                 close = find("]]>", lt + 9)
                 if close < 0:
                     tb.cdata(html[lt + 9:], lt, n)
-                    tb.parse_errors += 1
+                    tb.error(lt, "eof-in-cdata")
                     pos = n
                 else:
                     tb.cdata(html[lt + 9: close], lt, close + 3)
@@ -600,7 +662,7 @@ def parse(html: str) -> Document:
             else:
                 gt = find(">", lt)
                 if gt < 0:
-                    tb.parse_errors += 1
+                    tb.error(lt, "eof-in-markup")
                     pos = n
                     break
                 body = html[lt + 2: gt]
@@ -617,22 +679,22 @@ def parse(html: str) -> Document:
             else:
                 gt = find(">", lt)
                 if gt < 0:
-                    tb.parse_errors += 1
+                    tb.error(lt, "eof-in-end-tag")
                     pos = n
                     break
                 tb.comment(html[lt + 2: gt], lt, gt + 1)   # bogus comment
-                tb.parse_errors += 1
+                tb.error(lt, "malformed-end-tag")
                 pos = gt + 1
         elif c.isalpha():
             m = _START_TAG_RE.match(html, lt)
             if not m:
                 m = _START_TAG_RELAXED_RE.match(html, lt)
                 if m:
-                    tb.parse_errors += 1    # malformed attrs, recovered
+                    tb.error(lt, "malformed-attributes")
             if not m:
                 # unterminated tag: rest of input is text (tokenizer
                 # EOF-in-tag error)
-                tb.parse_errors += 1
+                tb.error(lt, "eof-in-tag")
                 tb.text(html[lt:], lt, n)
                 break
             tag, rawattrs, slash = m.group(1, 2, 3)
@@ -652,7 +714,7 @@ def parse(html: str) -> Document:
                 else:
                     content_end = n
                     tag_end = n
-                    tb.parse_errors += 1
+                    tb.error(pos, "eof-in-rawtext")
                 raw = html[pos:content_end]
                 if raw:
                     txt = _decode(raw) if tag in RCDATA_ELEMENTS else raw
@@ -669,4 +731,5 @@ def parse(html: str) -> Document:
             pos = lt + 1
     doc = tb.finish()
     doc.parse_errors = tb.parse_errors
+    doc.errors = tb.errors
     return doc

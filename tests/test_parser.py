@@ -284,3 +284,53 @@ def test_stray_formatting_end_tag_ignored():
     assert d.parse_errors >= 1
     from gumbo_pp_ray.html import content_text
     assert content_text(d) == "ab"
+
+
+# ------------------------------ ParseOptions (gumbo_pp.cpp:24-34 parity)
+
+
+def test_parse_options_error_records_and_cap():
+    from gumbo_pp_ray.html.parser import ParseOptions, parse
+
+    bad = "<div><b>x</div></b><p>y</span>"
+    d = parse(bad)
+    assert d.parse_errors >= 2
+    assert len(d.errors) == d.parse_errors
+    assert all(isinstance(o, int) and isinstance(c, str)
+               for o, c in d.errors)
+    capped = parse(bad, ParseOptions(max_errors=1))
+    assert capped.parse_errors == d.parse_errors    # count never capped
+    assert len(capped.errors) == 1
+
+
+def test_parse_options_stop_on_first_error():
+    from gumbo_pp_ray.html.parser import ParseOptions, parse
+
+    html = "<p>a</p></span><p>b</p><p>c</p>"
+    full = parse(html)
+    stopped = parse(html, ParseOptions(stop_on_first_error=True))
+    # full parse sees all three paragraphs; stopped parse abandons
+    # input after the stray </span>
+    def n_p(doc):
+        from gumbo_pp_ray.html.walk import find_all, walk
+        from gumbo_pp_ray.html import match
+        return len(list(find_all(walk(doc), match.tag.P)))
+    assert n_p(full) == 3
+    assert n_p(stopped) == 1
+    assert stopped.parse_errors == 1
+
+
+def test_parse_options_fragment_context():
+    from gumbo_pp_ray.html.parser import ParseOptions, parse
+    from gumbo_pp_ray.html.text import content_text
+
+    frag = parse("<li>one</li><li>two</li>",
+                 ParseOptions(fragment_context="ul"))
+    body = frag.children[0].children[1]
+    ul = body.children[0]
+    assert ul.tag == "ul" and [c.tag for c in ul.children] == ["li", "li"]
+    # RAWTEXT context: whole input is text, tags are NOT parsed
+    sc = parse("var a = '<div>';", ParseOptions(fragment_context="script"))
+    body = sc.children[0].children[1]
+    assert body.children[0].tag == "script"
+    assert content_text(body.children[0]) == "var a = '<div>';"
