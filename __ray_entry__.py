@@ -491,6 +491,42 @@ def _q_pdf_layout(sf_dir: str):
     return out.map_batches(explode_spans, batch_format="pyarrow")
 
 
+def _clusters_ds(sf_dir: str):
+    """Dup-cluster resolution: deterministic equivalence edges (same
+    source ∪ same lang, star-linked per group) → distributed
+    connected components (min-label propagation) → (doc_id,
+    cluster_id).  The multi-relation union forces multi-hop
+    propagation, pinning transitivity against the recursive-CTE
+    oracle."""
+    from gumbo_pp_ray.stages.graph import connected_components, star_edges
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        lang = batch.column("lang").to_pylist()
+        nc = batch.column("n_chars").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast("int64"),
+            "k1": pa.array([f"{a}|{b}" for a, b in zip(src, lang)]),
+            "k2": pa.array([f"{b}|{c % 7}" for b, c in zip(lang, nc)]),
+        })
+
+    keyed_ds = _docs(sf_dir, ("doc_id", "source", "lang", "n_chars")) \
+        .map_batches(keyed, batch_format="pyarrow")
+    e1 = star_edges(keyed_ds, "k1")
+    e2 = star_edges(keyed_ds, "k2")
+    return connected_components(e1.union(e2), _docs(sf_dir, ("doc_id",)),
+                                num_partitions=8)
+
+
+def _q_dup_clusters(sf_dir: str):
+    return _clusters_ds(sf_dir)
+
+
+def _q_dup_cluster_keepers(sf_dir: str):
+    from gumbo_pp_ray.stages.graph import cluster_keepers
+    return cluster_keepers(_clusters_ds(sf_dir))
+
+
 def _q_sample_20pct(sf_dir: str):
     """Deterministic hash sampling (reproducible splits): same keys on
     every run/partitioning, no RNG state."""
@@ -586,6 +622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,        # rows-only (stub decode)
         "table_scrape": _q_table_scrape,
         "extract_totals": _q_extract_totals,
+        "dup_clusters": _q_dup_clusters,
+        "dup_cluster_keepers": _q_dup_cluster_keepers,
         "sample_20pct": _q_sample_20pct,
         "frequent_tokens": _q_frequent_tokens,
         "vocab_size": _q_vocab_size,
@@ -853,6 +891,47 @@ def oracle_sql() -> dict[str, str]:
               FROM marks)
             SELECT user_id, session_id, count(*) AS n_events
             FROM tagged GROUP BY 1, 2
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM documents a JOIN documents b
+                  ON a.source = b.source AND a.lang = b.lang
+                     AND a.doc_id <> b.doc_id
+                UNION
+                SELECT a.doc_id, b.doc_id
+                FROM documents a JOIN documents b
+                  ON a.lang = b.lang AND a.n_chars % 7 = b.n_chars % 7
+                     AND a.doc_id <> b.doc_id
+            ),
+            walk(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v, w.r FROM walk w JOIN e ON e.u = w.doc_id
+            )
+            SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY doc_id
+        """,
+        "dup_cluster_keepers": """
+            WITH RECURSIVE e AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM documents a JOIN documents b
+                  ON a.source = b.source AND a.lang = b.lang
+                     AND a.doc_id <> b.doc_id
+                UNION
+                SELECT a.doc_id, b.doc_id
+                FROM documents a JOIN documents b
+                  ON a.lang = b.lang AND a.n_chars % 7 = b.n_chars % 7
+                     AND a.doc_id <> b.doc_id
+            ),
+            walk(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v, w.r FROM walk w JOIN e ON e.u = w.doc_id
+            )
+            SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY doc_id
+            HAVING doc_id = min(r)
         """,
         "sample_20pct": """
             SELECT doc_id FROM documents

@@ -1,0 +1,226 @@
+"""Connected components over candidate-pair graphs — the step that
+turns near-dup PAIRS into dedup DECISIONS (cluster ids / keep lists).
+
+Algorithm: distributed min-label propagation (the standard iterative
+BSP formulation, cf. the public large-star/small-star literature —
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14).  Each node's label starts as its own id; every round each
+node takes the min of its label and its neighbors' labels; at
+convergence label(v) = min node id of v's component.
+
+Scale shape: one round = two bucketed co-group shuffles (the same
+union + groupby(hash % B) pattern as stages/dedup.py's signature
+attach — no ``Dataset.join``), both exchanging only (int64, int64)
+rows.  Rounds needed = graph diameter; near-dup graphs built with the
+star-linked hot-bucket policy (dedup.py) have tiny diameters by
+construction.  Labels are materialized once per round (block-level)
+so the lineage doesn't re-execute; convergence is detected by the
+label-sum aggregate (labels are non-increasing, so an unchanged sum
+⇔ a fixed point), which moves ONE scalar to the driver per round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((ids.astype(np.uint64) * _MIX)
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _sym_edges(batch: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) pairs → symmetric (node, nbr) rows."""
+    a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "node": pa.array(np.concatenate([a, b]), pa.int64()),
+        "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+    })
+
+
+def _label_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    """labels (doc_id, label) → co-group rows keyed by doc_id."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(batch)
+    return pa.table({
+        "bucket": pa.array(_bucket(ids, num_buckets), pa.int64()),
+        "key": batch.column("doc_id").cast(pa.int64()),
+        "other": pa.nulls(n, pa.int64()),
+        "src": pa.array(np.zeros(n, dtype=np.int8)),
+        "val": batch.column("label").cast(pa.int64()),
+    })
+
+
+def _edge_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    """symmetric edges → co-group rows keyed by the NEIGHBOR (whose
+    label each edge wants to read)."""
+    nbr = batch.column("nbr").to_numpy(zero_copy_only=False)
+    n = len(batch)
+    return pa.table({
+        "bucket": pa.array(_bucket(nbr, num_buckets), pa.int64()),
+        "key": batch.column("nbr").cast(pa.int64()),
+        "other": batch.column("node").cast(pa.int64()),
+        "src": pa.array(np.ones(n, dtype=np.int8)),
+        "val": pa.nulls(n, pa.int64()),
+    })
+
+
+def _attach_nbr_label(group: pa.Table) -> pa.Table:
+    """Co-group 1: label rows (src=0) + edge rows keyed by nbr (src=1)
+    → message rows (node, candidate label) via index_in/take."""
+    src = group.column("src")
+    lab = group.filter(pa.compute.equal(src, 0))
+    edge = group.filter(pa.compute.equal(src, 1))
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    if lab.num_rows == 0 or edge.num_rows == 0:
+        return empty
+    idx = pa.compute.index_in(edge.column("key"),
+                              value_set=lab.column("key"))
+    found = pa.compute.is_valid(idx)
+    edge = edge.filter(found)
+    if edge.num_rows == 0:
+        return empty
+    return pa.table({
+        "node": edge.column("other"),
+        "label": pa.compute.take(lab.column("val").combine_chunks(),
+                                 idx.filter(found)),
+    })
+
+
+def _msg_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    ids = batch.column("node").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bucket": pa.array(_bucket(ids, num_buckets), pa.int64()),
+        "doc_id": batch.column("node").cast(pa.int64()),
+        "label": batch.column("label").cast(pa.int64()),
+    })
+
+
+def _own_label_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bucket": pa.array(_bucket(ids, num_buckets), pa.int64()),
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "label": batch.column("label").cast(pa.int64()),
+    })
+
+
+def _min_label_group(group: pa.Table) -> pa.Table:
+    """Co-group 2: per node, min over (own label ∪ neighbor labels) —
+    vectorized Arrow group_by aggregate inside the bucket."""
+    t = pa.table({"doc_id": group.column("doc_id"),
+                  "label": group.column("label")})
+    out = t.group_by("doc_id").aggregate([("label", "min")])
+    return pa.table({"doc_id": out.column("doc_id"),
+                     "label": out.column("label_min")})
+
+
+def connected_components(pairs_ds, nodes_ds, *, num_partitions: int = 16,
+                         max_iters: int = 50):
+    """(doc_a, doc_b) pairs + (doc_id) nodes → (doc_id, cluster_id)
+    where cluster_id = min doc_id of the connected component.
+
+    Loop engineering (all measured, see tests): each round's labels
+    are pinned as concrete Arrow block refs (``to_arrow_refs`` after a
+    ``repartition(num_partitions)``) — the repartition is load-bearing
+    TWICE over: (a) it severs the logical plan so round k+1 never
+    re-executes round k's lineage, and (b) it coalesces the empty
+    passthrough blocks that map operators skip-and-forward; without
+    it the block count DOUBLES per round (3 → 7 → … → 2^k) and
+    scheduling cost grows exponentially.  Convergence = unchanged
+    label sum (labels only decrease), computed from per-block Arrow
+    sums — one scalar per block to the driver, never the rows.
+
+    ``max_iters`` bounds the rounds at graph diameter; raises if not
+    converged (densify with star edges — stages/dedup.py's hot-bucket
+    policy already does — or raise the cap)."""
+    import ray
+    import ray.data
+
+    edges_refs = pairs_ds.map_batches(
+        _sym_edges, batch_format="pyarrow").to_arrow_refs()
+    labels_refs = nodes_ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "label": t.column("doc_id").cast(pa.int64()),
+        }),
+        batch_format="pyarrow").repartition(num_partitions).to_arrow_refs()
+
+    @ray.remote
+    def _block_sum(tbl: pa.Table) -> int:
+        if tbl.num_rows == 0:
+            return 0
+        return int(pa.compute.sum(tbl.column("label")).as_py() or 0)
+
+    def label_sum(refs) -> int:
+        return sum(ray.get([_block_sum.remote(r) for r in refs]))
+
+    prev_sum = label_sum(labels_refs)
+    for _ in range(max_iters):
+        labels = ray.data.from_arrow_refs(labels_refs)
+        edges = ray.data.from_arrow_refs(edges_refs)
+        lab_rows = labels.map_batches(
+            functools.partial(_label_rows, num_buckets=num_partitions),
+            batch_format="pyarrow")
+        edge_rows = edges.map_batches(
+            functools.partial(_edge_rows, num_buckets=num_partitions),
+            batch_format="pyarrow")
+        msgs = lab_rows.union(edge_rows).groupby(
+            "bucket", num_partitions=num_partitions).map_groups(
+            _attach_nbr_label, batch_format="pyarrow")
+        all_rows = msgs.map_batches(
+            functools.partial(_msg_rows, num_buckets=num_partitions),
+            batch_format="pyarrow").union(
+            ray.data.from_arrow_refs(labels_refs).map_batches(
+                functools.partial(_own_label_rows,
+                                  num_buckets=num_partitions),
+                batch_format="pyarrow"))
+        labels_refs = all_rows.groupby(
+            "bucket", num_partitions=num_partitions).map_groups(
+            _min_label_group, batch_format="pyarrow") \
+            .repartition(num_partitions).to_arrow_refs()
+        cur = label_sum(labels_refs)
+        if cur == prev_sum:
+            return ray.data.from_arrow_refs(labels_refs).map_batches(
+                lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+                batch_format="pyarrow")
+        prev_sum = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds")
+
+
+def _star_group(group: pa.Table, *, id_col: str) -> pa.Table:
+    ids = np.sort(group.column(id_col).to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    if len(ids) < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.table({
+        "doc_a": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
+        "doc_b": pa.array(ids[1:], pa.int64()),
+    })
+
+
+def star_edges(ds, key_col: str, *, id_col: str = "doc_id",
+               num_partitions: int | None = None):
+    """Equivalence-class edges from a grouping key: each group with
+    more than one member emits (min_id, member) star edges — linear in
+    group size, same components as the quadratic clique."""
+    import functools
+    gb = (ds.groupby(key_col, num_partitions=num_partitions)
+          if num_partitions else ds.groupby(key_col))
+    return gb.map_groups(functools.partial(_star_group, id_col=id_col),
+                         batch_format="pyarrow")
+
+
+def cluster_keepers(clusters_ds):
+    """(doc_id, cluster_id) → the dedup keep list: one row per cluster,
+    keeper = min doc_id (== cluster_id by construction)."""
+    return clusters_ds.filter(expr="doc_id == cluster_id")

@@ -1,0 +1,95 @@
+"""Connected-components tests: chains, stars, singletons, convergence
+against a local union-find reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gumbo_pp_ray.stages.graph import (
+    _star_group, cluster_keepers, connected_components, star_edges,
+)
+
+
+def _uf_reference(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(members) for r, members in comp.items()
+            for v in members}
+
+
+def test_star_group_unit():
+    g = pa.table({"doc_id": [7, 3, 9]})
+    out = _star_group(g, id_col="doc_id")
+    assert out.column("doc_a").to_pylist() == [3, 3]
+    assert out.column("doc_b").to_pylist() == [7, 9]
+    single = _star_group(pa.table({"doc_id": [5]}), id_col="doc_id")
+    assert single.num_rows == 0
+
+
+def test_connected_components_chain_and_singletons(ray_session):
+    import ray.data
+    # chain 0-1-2-3-4 (diameter 4), pair (6,7), singletons 5, 8
+    pairs = pa.table({"doc_a": [0, 1, 2, 3, 6],
+                      "doc_b": [1, 2, 3, 4, 7]})
+    nodes = pa.table({"doc_id": list(range(9))})
+    clusters = connected_components(ray.data.from_arrow(pairs),
+                                    ray.data.from_arrow(nodes),
+                                    num_partitions=4)
+    out = clusters.take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   5: 5, 6: 6, 7: 6, 8: 8}
+    keep = cluster_keepers(clusters).take_all()
+    assert sorted(r["doc_id"] for r in keep) == [0, 5, 6, 8]
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    import ray.data
+    rng = np.random.RandomState(13)
+    n = 200
+    m = 150
+    a = rng.randint(0, n, m)
+    b = rng.randint(0, n, m)
+    pairs = pa.table({"doc_a": a.astype("int64"),
+                      "doc_b": b.astype("int64")})
+    nodes = pa.table({"doc_id": list(range(n))})
+    out = connected_components(ray.data.from_arrow(pairs),
+                               ray.data.from_arrow(nodes),
+                               num_partitions=8).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    ref = _uf_reference(n, [(x, y) for x, y in zip(a, b) if x != y])
+    assert got == ref
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    import ray.data
+    pairs = pa.table({"doc_a": [0, 1, 2], "doc_b": [1, 2, 3]})
+    nodes = pa.table({"doc_id": [0, 1, 2, 3]})
+    with pytest.raises(RuntimeError):
+        connected_components(ray.data.from_arrow(pairs),
+                             ray.data.from_arrow(nodes),
+                             num_partitions=2, max_iters=1)
+
+
+def test_star_edges_pipeline(ray_session):
+    import ray.data
+    t = pa.table({"doc_id": [10, 11, 12, 20, 21, 30],
+                  "grp": ["a", "a", "a", "b", "b", "c"]})
+    out = star_edges(ray.data.from_arrow(t), "grp").take_all()
+    got = sorted((r["doc_a"], r["doc_b"]) for r in out)
+    assert got == [(10, 11), (10, 12), (20, 21)]
