@@ -527,6 +527,37 @@ def _q_dup_cluster_keepers(sf_dir: str):
     return cluster_keepers(_clusters_ds(sf_dir))
 
 
+def _q_tfidf_scores(sf_dir: str):
+    """Corpus-weighted TF-IDF per document — the canonical global-state
+    text statistic, computed with two shuffles and no driver-side
+    vocabulary (df is computed inside the token-hash co-group)."""
+    from gumbo_pp_ray.stages.corpus_stats import tfidf_doc_scores
+    return tfidf_doc_scores(_docs(sf_dir, ("doc_id", "text")),
+                            num_partitions=8)
+
+
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination: flag documents sharing word
+    3-grams with a broadcast benchmark set (here: docs 0-4)."""
+    import ray
+    import pyarrow.parquet as pq
+    from gumbo_pp_ray.stages.corpus_stats import decontaminate, ngram_set
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", 5)])
+    bench_ref = ray.put(ngram_set(t.column("text").to_pylist(), n=3))
+    return decontaminate(_docs(sf_dir, ("doc_id", "text")), bench_ref,
+                         n=3)
+
+
+def _q_sample_by_lang(sf_dir: str):
+    """Stratified deterministic sampling: 20 docs per language by
+    md5-rank (partition-invariant, no RNG)."""
+    from gumbo_pp_ray.stages.text_analysis import stratified_sample
+    return stratified_sample(_docs(sf_dir, ("doc_id", "lang")),
+                             stratum_col="lang", k=20)
+
+
 def _q_sample_20pct(sf_dir: str):
     """Deterministic hash sampling (reproducible splits): same keys on
     every run/partitioning, no RNG state."""
@@ -622,6 +653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,        # rows-only (stub decode)
         "table_scrape": _q_table_scrape,
         "extract_totals": _q_extract_totals,
+        "tfidf_scores": _q_tfidf_scores,
+        "decontam": _q_decontam,
+        "sample_by_lang": _q_sample_by_lang,
         "dup_clusters": _q_dup_clusters,
         "dup_cluster_keepers": _q_dup_cluster_keepers,
         "sample_20pct": _q_sample_20pct,
@@ -891,6 +925,48 @@ def oracle_sql() -> dict[str, str]:
               FROM marks)
             SELECT user_id, session_id, count(*) AS n_events
             FROM tagged GROUP BY 1, 2
+        """,
+        "tfidf_scores": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS tok
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf * ((1000 * n.n) // df.df)) AS BIGINT)
+                     AS tfidf_milli
+            FROM tf, df, n WHERE tf.tok = df.tok GROUP BY tf.doc_id
+        """,
+        "decontam": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+            hits AS (SELECT g.doc_id, count(DISTINCT g.g) AS n
+                     FROM grams g JOIN bench b ON g.g = b.g
+                     GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+                   CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "sample_by_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents) WHERE rn <= 20
         """,
         "dup_clusters": """
             WITH RECURSIVE e AS (

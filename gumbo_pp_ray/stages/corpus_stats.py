@@ -1,0 +1,167 @@
+"""Corpus-global text statistics that need a cross-document exchange:
+TF-IDF scoring and benchmark decontamination.
+
+**TF-IDF** is the canonical "needs global state" operator: idf(t)
+depends on every document.  Scale shape — TWO shuffles, no driver
+state, no broadcast of the vocabulary:
+
+1. map_batches: (doc_id, token, tf) rows, one per DISTINCT token per
+   doc (pre-combined in the batch, so the exchange is bounded by
+   distinct-tokens-per-doc, not token occurrences);
+2. groupby(hash(token) % B): a token's rows land in ONE group, so the
+   group computes df(token) locally AND attaches the integer idf to
+   every row — document frequency never exists as a separate pass or
+   a driver-side dict;
+3. groupby(hash(doc) % B): per-doc score sum.
+
+Integer arithmetic end to end (score_milli = Σ tf · (1000·N // df))
+so the DuckDB oracle reproduces results bit-exactly — floating idf
+logs would hash-mismatch on rounding.
+
+**Decontamination** (train/test overlap): the benchmark n-gram set is
+broadcast ONCE via ``ray.put`` (benchmark suites are small by nature —
+the asymmetry is the whole point: corpus is huge, contamination list
+is not) and every worker counts overlapping shingles per document.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_str(vals, num_buckets: int) -> pa.Array:
+    import zlib
+    return pa.array([zlib.crc32(v.encode("utf-8")) % num_buckets
+                     for v in vals], pa.int64())
+
+
+def doc_token_tf(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    """documents → (bucket, doc_id, token, tf) rows, one per distinct
+    token per doc (whitespace tokenization, same as the oracle)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_tok, out_tf = [], [], []
+    for i, t in zip(ids, texts):
+        counts: dict = {}
+        for tok in t.split():
+            counts[tok] = counts.get(tok, 0) + 1
+        out_id.extend([i] * len(counts))
+        out_tok.extend(counts.keys())
+        out_tf.extend(counts.values())
+    return pa.table({
+        "bucket": _bucket_str(out_tok, num_buckets),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "token": pa.array(out_tok, pa.string()),
+        "tf": pa.array(out_tf, pa.int64()),
+    })
+
+
+def _attach_idf_group(group: pa.Table, *, n_docs: int,
+                      num_buckets: int) -> pa.Table:
+    """One token-hash bucket: df(token) computed in-group (each token
+    is fully contained here), idf attached vectorized."""
+    toks = group.column("token")
+    df_tbl = pa.table({"token": toks}).group_by("token").aggregate(
+        [("token", "count")])
+    idx = pa.compute.index_in(toks, value_set=df_tbl.column("token"))
+    df = pa.compute.take(df_tbl.column("token_count"), idx) \
+        .to_numpy(zero_copy_only=False)
+    tf = group.column("tf").to_numpy(zero_copy_only=False)
+    score = tf * (1000 * n_docs // df)
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bucket": pa.array(
+            ((ids.astype(np.uint64) * _MIX)
+             % np.uint64(num_buckets)).astype(np.int64)),
+        "doc_id": group.column("doc_id"),
+        "score": pa.array(score.astype(np.int64), pa.int64()),
+    })
+
+
+def _sum_scores_group(group: pa.Table) -> pa.Table:
+    t = pa.table({"doc_id": group.column("doc_id"),
+                  "score": group.column("score")})
+    out = t.group_by("doc_id").aggregate([("score", "sum")])
+    return pa.table({"doc_id": out.column("doc_id"),
+                     "tfidf_milli": out.column("score_sum")})
+
+
+def tfidf_doc_scores(ds, *, num_partitions: int = 16,
+                     n_docs: int | None = None):
+    """documents Dataset → (doc_id, tfidf_milli) with
+    tfidf_milli = Σ_distinct-tokens tf · (1000·N // df) — integer-exact
+    corpus-weighted score.  ``n_docs`` defaults to ``ds.count()``
+    (metadata-fast for parquet reads)."""
+    if n_docs is None:
+        n_docs = ds.count()
+    rows = ds.map_batches(
+        functools.partial(doc_token_tf, num_buckets=num_partitions),
+        batch_format="pyarrow")
+    scored = rows.groupby("bucket", num_partitions=num_partitions) \
+        .map_groups(functools.partial(_attach_idf_group, n_docs=n_docs,
+                                      num_buckets=num_partitions),
+                    batch_format="pyarrow")
+    return scored.groupby("bucket", num_partitions=num_partitions) \
+        .map_groups(_sum_scores_group, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- decontamination
+
+def ngram_set(texts, n: int = 3) -> frozenset:
+    """Word n-grams of a benchmark text collection (the broadcast
+    side)."""
+    grams = set()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks) - n + 1):
+            grams.add(" ".join(toks[i:i + n]))
+    return frozenset(grams)
+
+
+class ContaminationCheck:
+    """Actor-pool stage: flags documents sharing n-grams with a
+    broadcast benchmark set.  The set is fetched from the object store
+    ONCE per actor in ``__init__`` (ray.put on the driver, zero-copy
+    reads everywhere), never per batch."""
+
+    def __init__(self, bench_ref, n: int = 3):
+        import ray
+        self.bench = (ray.get(bench_ref)
+                      if not isinstance(bench_ref, frozenset)
+                      else bench_ref)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bench = self.bench
+        n = self.n
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hits = []
+        for t in texts:
+            toks = t.split()
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            hits.append(len(grams & bench))
+        hits_arr = pa.array(hits, pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_contaminated": hits_arr,
+            "contaminated": pa.compute.cast(
+                pa.compute.greater(hits_arr, 0), pa.int64()),
+        })
+
+
+def decontaminate(ds, bench_ref, *, n: int = 3, concurrency=None):
+    """documents Dataset → (doc_id, n_contaminated, contaminated)."""
+    from ..state.sizing import default_pool_size
+    if concurrency is None:
+        concurrency = default_pool_size()
+    return ds.map_batches(
+        ContaminationCheck,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow", concurrency=concurrency)

@@ -230,3 +230,34 @@ def hash_sample(batch: pa.Table, *, rate: float, key_col: str = "doc_id",
     keep = [hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:8] < threshold
             for k in keys]
     return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def _stratum_top_k(group: pa.Table, *, k: int, key_col: str,
+                   salt: str) -> pa.Table:
+    """One stratum: keep the k rows with the smallest
+    (md5(salt:id), id) rank — deterministic under any partitioning."""
+    import hashlib
+    ids = group.column(key_col).to_pylist()
+    ranked = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(f"{salt}:{ids[i]}".encode())
+                       .hexdigest(), ids[i]))
+    return group.take(pa.array(sorted(ranked[:k]), pa.int64()))
+
+
+def stratified_sample(ds, *, stratum_col: str = "lang", k: int = 20,
+                      key_col: str = "doc_id", salt: str = "42",
+                      num_partitions: int | None = None):
+    """Deterministic k-per-stratum sampling: within each stratum keep
+    the k members with the smallest md5(salt:key) rank.  Same keys on
+    every run and partitioning (no RNG state), and SQL-reproducible:
+    ``row_number() OVER (PARTITION BY stratum ORDER BY md5(...), key)
+    <= k``.  The shuffle moves full rows of ONE stratum per group —
+    prune columns before sampling when rows are wide."""
+    import functools
+    gb = (ds.groupby(stratum_col, num_partitions=num_partitions)
+          if num_partitions else ds.groupby(stratum_col))
+    return gb.map_groups(
+        functools.partial(_stratum_top_k, k=k, key_col=key_col,
+                          salt=salt),
+        batch_format="pyarrow")

@@ -1,0 +1,83 @@
+"""TF-IDF, decontamination and stratified-sampling tests."""
+
+import hashlib
+
+import pyarrow as pa
+
+from gumbo_pp_ray.stages.corpus_stats import (
+    ngram_set, tfidf_doc_scores, decontaminate,
+)
+from gumbo_pp_ray.stages.text_analysis import stratified_sample
+
+
+def test_ngram_set_unit():
+    s = ngram_set(["a b c d", "x y z"], n=3)
+    assert s == frozenset({"a b c", "b c d", "x y z"})
+    assert ngram_set(["a b"], n=3) == frozenset()
+
+
+def test_tfidf_integer_exact(ray_session):
+    import ray.data
+    # 4 docs; token "common" in all (idf = 1000*4//4 = 1000),
+    # "rare" in one (idf = 4000)
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["common rare rare", "common", "common", "common"],
+    })
+    out = tfidf_doc_scores(ray.data.from_arrow(t),
+                           num_partitions=4).take_all()
+    got = {r["doc_id"]: r["tfidf_milli"] for r in out}
+    assert got == {0: 1 * 1000 + 2 * 4000, 1: 1000, 2: 1000, 3: 1000}
+
+
+def test_tfidf_empty_docs_skipped(ray_session):
+    import ray.data
+    t = pa.table({"doc_id": [0, 1], "text": ["a b", ""]})
+    out = tfidf_doc_scores(ray.data.from_arrow(t),
+                           num_partitions=2).take_all()
+    assert {r["doc_id"] for r in out} == {0}
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import ray
+    import ray.data
+    bench = ngram_set(["the quick brown fox jumps"], n=3)
+    ref = ray.put(bench)
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["nothing shared here at all",
+                 "we said the quick brown fox runs",   # 2 shared grams
+                 "short"],
+    })
+    out = decontaminate(ray.data.from_arrow(t), ref, n=3,
+                        concurrency=2).take_all()
+    got = {r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+           for r in out}
+    assert got == {0: (0, 0), 1: (2, 1), 2: (0, 0)}
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data
+    t = pa.table({
+        "doc_id": list(range(100)),
+        "lang": [("en", "fr", "de")[i % 3] for i in range(100)],
+    })
+    a = stratified_sample(ray.data.from_arrow(t), stratum_col="lang",
+                          k=5).take_all()
+    b = stratified_sample(
+        ray.data.from_arrow(t).random_shuffle(seed=3).repartition(7),
+        stratum_col="lang", k=5).take_all()
+    key = lambda r: (r["lang"], r["doc_id"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    per = {}
+    for r in a:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert per == {"en": 5, "fr": 5, "de": 5}
+    # rank rule: the kept ids are the 5 smallest md5-ranks per stratum
+    for lang in per:
+        members = [i for i in range(100)
+                   if ("en", "fr", "de")[i % 3] == lang]
+        ranked = sorted(members, key=lambda i: (
+            hashlib.md5(f"42:{i}".encode()).hexdigest(), i))[:5]
+        kept = sorted(r["doc_id"] for r in a if r["lang"] == lang)
+        assert kept == sorted(ranked)
