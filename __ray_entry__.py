@@ -527,6 +527,45 @@ def _q_dup_cluster_keepers(sf_dir: str):
     return cluster_keepers(_clusters_ds(sf_dir))
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals (duplicate
+    3-gram fraction, integer milli)."""
+    from gumbo_pp_ray.stages.text_analysis import repetition_stats
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        repetition_stats, batch_format="pyarrow")
+
+
+def _q_lang_stats(sf_dir: str):
+    """Per-language corpus stats via Ray Data's NATIVE grouped
+    aggregates (Count/Sum/Min/Max push-down — no custom UDF)."""
+    import ray.data
+    agg = _docs(sf_dir, ("doc_id", "lang", "n_chars")).groupby(
+        "lang").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("n_chars", alias_name="total_chars"),
+        ray.data.aggregate.Min("n_chars", alias_name="min_chars"),
+        ray.data.aggregate.Max("n_chars", alias_name="max_chars"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            ["lang", "n_docs", "total_chars", "min_chars", "max_chars"])
+        for c in ("n_docs", "total_chars", "min_chars", "max_chars"):
+            t = t.set_column(t.schema.names.index(c), c,
+                             t.column(c).cast(pa.int64()))
+        return t
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+def _q_top_tokens_by_lang(sf_dir: str):
+    """Per-language token leaderboard (combiner pre-agg → grouped sum
+    → per-group top-k with a total order)."""
+    from gumbo_pp_ray.stages.text_analysis import top_tokens_by_group
+    return top_tokens_by_group(
+        _docs(sf_dir, ("doc_id", "text", "lang")), group_col="lang",
+        k=5)
+
+
 def _q_tfidf_scores(sf_dir: str):
     """Corpus-weighted TF-IDF per document — the canonical global-state
     text statistic, computed with two shuffles and no driver-side
@@ -581,6 +620,20 @@ def _q_vocab_size(sf_dir: str):
 def _q_vocab_size_hll(sf_dir: str):
     from gumbo_pp_ray.stages.sketches import hll_distinct_tokens
     return hll_distinct_tokens(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_cms_counts(sf_dir: str):
+    """Count-min sketch corpus frequency estimates for the query doc's
+    first 10 tokens (rows-only: CM estimates are upper bounds, not
+    exact values)."""
+    from gumbo_pp_ray.stages.sketches import cms_token_counts
+    probes = sorted(_query_tokens(sf_dir))[:10]
+    _, est = cms_token_counts(_docs(sf_dir, ("doc_id", "text")),
+                              probes=probes)
+    return pa.table({
+        "token": pa.array(list(est.keys()), pa.string()),
+        "est_n": pa.array(list(est.values()), pa.int64()),
+    })
 
 
 def _q_table_scrape(sf_dir: str):
@@ -653,6 +706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,        # rows-only (stub decode)
         "table_scrape": _q_table_scrape,
         "extract_totals": _q_extract_totals,
+        "repetition_stats": _q_repetition_stats,
+        "lang_stats": _q_lang_stats,
+        "top_tokens_by_lang": _q_top_tokens_by_lang,
         "tfidf_scores": _q_tfidf_scores,
         "decontam": _q_decontam,
         "sample_by_lang": _q_sample_by_lang,
@@ -662,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": _q_frequent_tokens,
         "vocab_size": _q_vocab_size,
         "vocab_size_hll": _q_vocab_size_hll,    # rows-only (sketch)
+        "cms_counts": _q_cms_counts,            # rows-only (sketch)
         "pdf_layout": _q_pdf_layout,            # rows-only (stub decode)
         "tumbling_counts": _q_tumbling_counts,
         "session_windows": _q_session_windows,
@@ -925,6 +982,49 @@ def oracle_sql() -> dict[str, str]:
               FROM marks)
             SELECT user_id, session_id, count(*) AS n_events
             FROM tagged GROUP BY 1, 2
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            cnt AS (SELECT doc_id, g, count(*) AS c
+                    FROM grams GROUP BY 1, 2),
+            agg AS (SELECT doc_id, sum(c) AS ng,
+                           COALESCE(sum(CASE WHEN c > 1 THEN c END), 0)
+                             AS nd
+                    FROM cnt GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.ng, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(CASE WHEN COALESCE(a.ng, 0) = 0 THEN 0
+                        ELSE 1000 * a.nd // a.ng END AS BIGINT)
+                     AS dup_gram_milli
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "top_tokens_by_lang": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                    FROM toks GROUP BY 1, 2)
+            SELECT lang, token, n, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT lang, token, n,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, token) AS rank
+              FROM cnt) WHERE rank <= 5
         """,
         "tfidf_scores": r"""
             WITH toks AS (

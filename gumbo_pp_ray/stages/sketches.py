@@ -135,3 +135,82 @@ def exact_distinct_tokens(ds):
     # 0) — Dataset.count() avoids the name clash.
     n = toks.groupby("tok").count().count()
     return pa.table({"n_distinct_tokens": pa.array([int(n)], pa.int64())})
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan's public CM
+    construction): d rows of w counters; add = increment one counter
+    per row at h_i(x); estimate = min over rows (always ≥ truth).
+    Mergeable by elementwise sum — the same one-blob-per-batch shape
+    as the HLL sketch, so corpus-wide frequency estimates cost a
+    kilobytes-sized exchange regardless of token count.
+
+    Hashes: blake2b-64 split into d row-hashes via seeded salts
+    (process-stable; see HllSketch for why not CRC).
+    """
+
+    __slots__ = ("d", "w", "table")
+
+    def __init__(self, d: int = 4, w: int = 1 << 12,
+                 table: np.ndarray | None = None):
+        self.d = d
+        self.w = w
+        self.table = (table if table is not None
+                      else np.zeros((d, w), dtype=np.int64))
+
+    def _cols(self, items: list[str]) -> np.ndarray:
+        from hashlib import blake2b
+        out = np.empty((self.d, len(items)), dtype=np.int64)
+        for r in range(self.d):
+            salt = bytes([r])
+            for j, it in enumerate(items):
+                h = blake2b(it.encode("utf-8"), digest_size=8,
+                            salt=salt).digest()
+                out[r, j] = int.from_bytes(h, "little") % self.w
+        return out
+
+    def add_many(self, items: list[str]):
+        if not items:
+            return
+        cols = self._cols(items)
+        for r in range(self.d):
+            np.add.at(self.table[r], cols[r], 1)
+
+    def estimate(self, item: str) -> int:
+        cols = self._cols([item])
+        return int(min(self.table[r, cols[r, 0]] for r in range(self.d)))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        return CountMinSketch(self.d, self.w, self.table + other.table)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, d: int = 4, w: int = 1 << 12):
+        return cls(d, w, np.frombuffer(raw, dtype=np.int64)
+                   .reshape(d, w).copy())
+
+
+def _cms_batch(batch: pa.Table, *, d: int, w: int) -> pa.Table:
+    cms = CountMinSketch(d, w)
+    for t in batch.column("text").to_pylist():
+        cms.add_many(t.split())
+    return pa.table({"sketch": pa.array([cms.to_bytes()], pa.binary())})
+
+
+def cms_token_counts(ds, *, d: int = 4, w: int = 1 << 12,
+                     probes: list[str] | None = None):
+    """documents Dataset → merged corpus-wide count-min sketch.
+    Returns (sketch, estimates) where estimates maps each probe token
+    to its estimated corpus frequency.  One d*w*8-byte blob per batch
+    crosses the exchange; the merge is a driver-side fold over
+    per-batch blobs (bounded by num_blocks, like the HLL path)."""
+    import functools
+    blobs = ds.map_batches(functools.partial(_cms_batch, d=d, w=w),
+                           batch_format="pyarrow").take_all()
+    merged = CountMinSketch(d, w)
+    for b in blobs:
+        merged = merged.merge(CountMinSketch.from_bytes(b["sketch"], d, w))
+    est = {p: merged.estimate(p) for p in (probes or [])}
+    return merged, est

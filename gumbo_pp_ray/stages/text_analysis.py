@@ -261,3 +261,79 @@ def stratified_sample(ds, *, stratum_col: str = "lang", k: int = 20,
         functools.partial(_stratum_top_k, k=k, key_col=key_col,
                           salt=salt),
         batch_format="pyarrow")
+
+
+def repetition_stats(batch: pa.Table, *, n: int = 3) -> pa.Table:
+    """Gopher-style repetition signals (public Rae et al. 2021 rules,
+    adapted to integer math): per document,
+
+    * ``n_grams`` — word n-gram instances,
+    * ``n_dup_grams`` — instances whose n-gram occurs more than once
+      within the document,
+    * ``dup_gram_milli`` — 1000 * n_dup_grams // max(n_grams, 1).
+
+    Boilerplate-heavy or looping machine text scores high; pure map,
+    SQL-reproducible."""
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    n_grams, n_dup, milli = [], [], []
+    for t in texts:
+        toks = t.split()
+        total = max(len(toks) - n + 1, 0)
+        counts: dict = {}
+        for i in range(total):
+            g = " ".join(toks[i:i + n])
+            counts[g] = counts.get(g, 0) + 1
+        dup = sum(c for c in counts.values() if c > 1)
+        n_grams.append(total)
+        n_dup.append(dup)
+        milli.append(1000 * dup // total if total else 0)
+    return pa.table({
+        "doc_id": ids,
+        "n_grams": pa.array(n_grams, pa.int64()),
+        "n_dup_grams": pa.array(n_dup, pa.int64()),
+        "dup_gram_milli": pa.array(milli, pa.int64()),
+    })
+
+
+def _topk_tokens_group(group: pa.Table, *, k: int, group_col: str
+                       ) -> pa.Table:
+    """One group's (token, n) rows → top-k by (n desc, token asc)."""
+    t = group.sort_by([("n", "descending"), ("token", "ascending")])
+    out = t.slice(0, k)
+    return pa.table({
+        group_col: out.column(group_col),
+        "token": out.column("token"),
+        "n": out.column("n"),
+        "rank": pa.array(np.arange(1, out.num_rows + 1), pa.int64()),
+    })
+
+
+def top_tokens_by_group(ds, *, group_col: str = "lang", k: int = 5):
+    """Per-group token leaderboard: batch-local (group, token)
+    pre-aggregation → groupby((group, token)).sum → per-group top-k
+    with a total order (count desc, token asc).  The exchange carries
+    (group, token, count) — bounded by vocabulary x groups, never
+    token occurrences."""
+    def combine(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        counts: dict = {}
+        for g, t in zip(groups, texts):
+            for tok in t.split():
+                key = (g, tok)
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table({
+            group_col: pa.array([g for g, _ in counts], pa.string()),
+            "token": pa.array([t for _, t in counts], pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    import functools
+    import ray.data
+    summed = (ds.map_batches(combine, batch_format="pyarrow")
+                .groupby([group_col, "token"])
+                .aggregate(ray.data.aggregate.Sum("n", alias_name="n")))
+    return summed.groupby(group_col).map_groups(
+        functools.partial(_topk_tokens_group, k=k, group_col=group_col),
+        batch_format="pyarrow")

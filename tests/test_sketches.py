@@ -49,3 +49,39 @@ def test_distributed_sketch_vs_exact(ray_session):
     est = hll_distinct_tokens(ray.data.from_arrow(table)).take_all()
     got = est[0]["n_distinct_tokens_est"]
     assert abs(got - true_n) / true_n < 0.05, (got, true_n)
+
+
+def test_count_min_sketch_unit():
+    from gumbo_pp_ray.stages.sketches import CountMinSketch
+
+    cms = CountMinSketch(d=4, w=1 << 10)
+    items = ["apple"] * 100 + ["banana"] * 10 + [f"noise{i}" for i in range(200)]
+    cms.add_many(items)
+    # CM estimates are always >= truth; with this load factor they
+    # should be exact or near-exact
+    assert 100 <= cms.estimate("apple") <= 110
+    assert 10 <= cms.estimate("banana") <= 20
+    assert cms.estimate("absent") <= 5
+    # merge = sum
+    other = CountMinSketch(d=4, w=1 << 10)
+    other.add_many(["apple"] * 50)
+    m = cms.merge(other)
+    assert m.estimate("apple") >= 150
+    # round-trip
+    rt = CountMinSketch.from_bytes(m.to_bytes(), 4, 1 << 10)
+    assert rt.estimate("apple") == m.estimate("apple")
+
+
+def test_cms_pipeline_vs_exact(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.sketches import cms_token_counts
+
+    texts = ["the cat sat on the mat"] * 30 + ["dogs run fast"] * 5
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    _, est = cms_token_counts(ray.data.from_arrow(t),
+                              probes=["the", "dogs", "zebra"])
+    assert est["the"] >= 60           # 2 per doc x 30 docs
+    assert est["the"] <= 66
+    assert 5 <= est["dogs"] <= 8
+    assert est["zebra"] <= 2

@@ -86,3 +86,37 @@ def test_hash_sample_deterministic_and_partition_invariant():
     other = set(hash_sample(t, rate=0.3, salt="7")
                 .column("doc_id").to_pylist())
     assert other != full
+
+
+def test_repetition_stats_unit():
+    import pyarrow as pa
+    from gumbo_pp_ray.stages.text_analysis import repetition_stats
+
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["a b c a b c a b c",   # heavy repetition
+                           "all words unique here now",
+                           "x y"]})               # too short for grams
+    out = repetition_stats(t, n=3)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    # doc 0: 7 gram instances; "a b c" x3, "b c a" x2, "c a b" x2 → all dup
+    assert rows[0]["n_grams"] == 7 and rows[0]["n_dup_grams"] == 7
+    assert rows[0]["dup_gram_milli"] == 1000
+    assert rows[1]["n_dup_grams"] == 0 and rows[1]["dup_gram_milli"] == 0
+    assert rows[2]["n_grams"] == 0 and rows[2]["dup_gram_milli"] == 0
+
+
+def test_top_tokens_by_group_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.text_analysis import top_tokens_by_group
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "lang": ["en", "en", "fr", "fr"],
+        "text": ["cat cat dog", "dog cat", "chat chien", "chat chat"],
+    })
+    out = top_tokens_by_group(ray.data.from_arrow(t), group_col="lang",
+                              k=2).take_all()
+    got = {(r["lang"], r["rank"]): (r["token"], r["n"]) for r in out}
+    assert got == {("en", 1): ("cat", 3), ("en", 2): ("dog", 2),
+                   ("fr", 1): ("chat", 3), ("fr", 2): ("chien", 1)}
