@@ -312,6 +312,14 @@ def _q_ann_topk_lsh(sf_dir: str):
                         n_flip=2)
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    from gumbo_pp_ray.stages.similarity import ann_topk_ivf
+    q = _read_query_embeddings(sf_dir)
+    dim = q["matrix"].shape[1]
+    return ann_topk_ivf(_emb(sf_dir), q, dim=dim, k=10, n_clusters=16,
+                        n_probe=4)
+
+
 def _q_emb_neardup(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -700,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,      # rows-only (probabilistic)
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,        # rows-only (approximate)
+        "ann_topk_ivf": _q_ann_topk_ivf,        # rows-only (approximate)
         "emb_neardup": _q_emb_neardup,
         "page_metadata": _q_page_metadata,
         "media_refs": _q_media_refs,

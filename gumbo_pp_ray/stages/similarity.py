@@ -255,3 +255,126 @@ def embedding_neardup_pairs(ds, corpus: dict, *, threshold: float = 0.5,
         NearDupPairs,
         fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+
+
+# ------------------------------------------------------- IVF scale path
+
+def train_coarse_centroids(ds, *, dim: int, n_clusters: int = 16,
+                           sample_rate: float = 1.0, iters: int = 10,
+                           seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means on a deterministic hash-sample of the
+    corpus — the IVF coarse quantizer (public IVF/Faiss design: train
+    on a bounded sample, assign everything).  The sample (bounded by
+    ``sample_rate``; use ≤ ~1M vectors at real scale) is the only
+    thing pulled to the driver; training is a few numpy matmuls."""
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if sample_rate >= 1.0:
+            return batch
+        thr = format(int(sample_rate * 16 ** 8), "08x")
+        ids = batch.column("vec_id").to_pylist()
+        mask = [hashlib.md5(f"ivf:{i}".encode()).hexdigest()[:8] < thr
+                for i in ids]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    m = _normalize(np.asarray([r["embedding"] for r in rows]))
+    rng = np.random.RandomState(seed)
+    k = min(n_clusters, len(m))
+    centroids = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(centroids @ m.T, axis=0)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_assign_stage(batch: pa.Table, *, centroids_ref) -> pa.Table:
+    """Stateless assign: cluster = argmax centroid similarity."""
+    from ..state.broadcast import Broadcast
+    cents = Broadcast.get(centroids_ref)
+    m = _normalize(_batch_matrix(batch))
+    assign = np.argmax(cents @ m.T, axis=0).astype(np.int64)
+    return batch.append_column("ivf_cluster", pa.array(assign))
+
+
+def ann_topk_ivf(ds, queries: dict, *, dim: int, k: int = 10,
+                 n_clusters: int = 16, n_probe: int = 4,
+                 exclude_self: bool = True, concurrency=None,
+                 centroids: np.ndarray | None = None):
+    """IVF approximate top-k: a coarse quantizer (trained on a
+    bounded sample unless ``centroids`` given) partitions the corpus;
+    each query scores only rows assigned to its ``n_probe`` nearest
+    clusters.  Same output schema as ann_topk; recall/probe trade-off
+    measured in tests.  vs the LSH path: data-adaptive cells (better
+    for clustered corpora), one extra training pass."""
+    import functools
+    import ray
+    from ..state.sizing import default_pool_size
+    if concurrency is None:
+        concurrency = default_pool_size()
+    if centroids is None:
+        centroids = train_coarse_centroids(ds, dim=dim,
+                                           n_clusters=n_clusters)
+    cents_ref = ray.put(centroids)
+    qm = _normalize(np.asarray(queries["matrix"]))
+    sims = centroids @ qm.T                       # (C, Q)
+    n_probe = min(n_probe, centroids.shape[0])
+    probe = np.argpartition(-sims, n_probe - 1, axis=0)[:n_probe]
+    probe_map: dict = {}
+    for qi in range(qm.shape[0]):
+        for c in probe[:, qi]:
+            probe_map.setdefault(int(c), []).append(qi)
+    payload = {"ids": np.asarray(queries["ids"], dtype=np.int64),
+               "matrix": qm, "probe_map": probe_map}
+    ref = ray.put(payload)
+
+    class ClusterScore:
+        def __init__(self, queries_ref, k):
+            from ..state.broadcast import Broadcast
+            q = Broadcast.get(queries_ref)
+            self.query_ids = q["ids"]
+            self.q = q["matrix"]
+            self.probe_map = q["probe_map"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            cl = batch.column("ivf_cluster").to_numpy(zero_copy_only=False)
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(cl):
+                qrows = self.probe_map.get(int(c))
+                if not qrows:
+                    continue
+                mask = cl == c
+                sub, sub_ids = m[mask], ids[mask]
+                sims = self.q[qrows] @ sub.T
+                kk = min(self.k, sims.shape[1])
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                for r, qi in enumerate(qrows):
+                    for cc in top[r]:
+                        out_q.append(int(self.query_ids[qi]))
+                        out_n.append(int(sub_ids[cc]))
+                        out_s.append(float(sims[r, cc]))
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            })
+
+    assigned = ds.map_batches(
+        functools.partial(ivf_assign_stage, centroids_ref=cents_ref),
+        batch_format="pyarrow", batch_size=4096)
+    cand = assigned.map_batches(
+        ClusterScore,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k + exclude_self},
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce_factory(k, exclude_self), batch_format="pyarrow")

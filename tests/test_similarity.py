@@ -103,3 +103,41 @@ def test_embedding_neardup_pairs_exact(ray_session):
     expected = {(i, j) for i in range(50) for j in range(i + 1, 50)
                 if sims[i, j] >= 0.95}
     assert pairs == expected
+
+
+def test_ann_topk_ivf_recall(ray_session):
+    """IVF path: clustered corpus → recall vs brute force must be
+    high with enough probes, and perfect when probing all clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import ann_topk, ann_topk_ivf
+
+    rng = np.random.RandomState(21)
+    dim, per = 16, 60
+    centers = rng.standard_normal((5, dim)) * 4
+    vecs = np.concatenate([c + rng.standard_normal((per, dim))
+                           for c in centers])
+    ids = list(range(len(vecs)))
+    t = pa.table({"vec_id": ids,
+                  "embedding": [v.tolist() for v in vecs]})
+    queries = {"ids": ids[:8], "matrix": vecs[:8]}
+
+    def ds():
+        return ray.data.from_arrow(t)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(ds(), queries, k=5,
+                               concurrency=2).take_all()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_ivf(ds(), queries, dim=dim, k=5,
+                                 n_clusters=8, n_probe=3,
+                                 concurrency=2).take_all()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall > 0.8, recall
+    # probing every cluster = exact
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ann_topk_ivf(ds(), queries, dim=dim, k=5,
+                                  n_clusters=8, n_probe=8,
+                                  concurrency=2).take_all()}
+    assert full == exact
