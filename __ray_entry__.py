@@ -466,7 +466,9 @@ def _q_asof_orders(sf_dir: str):
     od = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                columns=["o_orderkey", "o_custkey",
                                         "o_orderdate"])
-    return asof_join_events_orders(ev, od)
+    # weekly time slices: exercises the hot-key-safe two-phase path
+    # (exact — the oracle pins it)
+    return asof_join_events_orders(ev, od, slice_sec=7 * 86400)
 
 
 def _q_pdf_layout(sf_dir: str):

@@ -83,8 +83,102 @@ def derive_num_buckets(total_rows: int) -> int:
     return max(16, min(65536, -(-total_rows // _ROWS_PER_BUCKET)))
 
 
+def _add_slice(batch: pa.Table, *, slice_sec: int) -> pa.Table:
+    ts = batch.column("ts")
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    us = ts.cast(pa.int64())
+    return batch.append_column(
+        "slice", pa.compute.divide(us, np.int64(slice_sec) * 1_000_000))
+
+
+def _sliced_asof_phase1(group: pd.DataFrame) -> pd.DataFrame:
+    """One (key-bucket, time slice): in-slice merge_asof.  Emits
+    matched rows (kind=0), UNMATCHED events (kind=1 — their match, if
+    any, precedes the slice) and one last-order summary row per key
+    (kind=2) for the carry pass."""
+    left = group[group["src"] == 0]
+    right = group[group["src"] == 1]
+    bucket = int(group["bucket"].iloc[0]) if len(group) else 0
+    out = []
+    if not left.empty and not right.empty:
+        ls = left.sort_values("ts", kind="stable")
+        rs = right.sort_values(["ts", "right_id"], kind="stable")
+        merged = pd.merge_asof(
+            ls[["key", "ts", "left_id"]],
+            rs[["key", "ts", "right_id"]],
+            on="ts", by="key", direction="backward")
+        hit = merged.dropna(subset=["right_id"])
+        out.append(pd.DataFrame({
+            "kind": 0, "bucket": bucket, "key": hit["key"].astype("int64"),
+            "slice": group["slice"].iloc[0],
+            "left_id": hit["left_id"].astype("int64"),
+            "right_id": hit["right_id"].astype("int64"),
+            "ts": hit["ts"]}))
+        miss = merged[merged["right_id"].isna()]
+        out.append(pd.DataFrame({
+            "kind": 1, "bucket": bucket, "key": miss["key"].astype("int64"),
+            "slice": group["slice"].iloc[0],
+            "left_id": miss["left_id"].astype("int64"),
+            "right_id": -1, "ts": miss["ts"]}))
+    elif not left.empty:
+        out.append(pd.DataFrame({
+            "kind": 1, "bucket": bucket, "key": left["key"].astype("int64"),
+            "slice": group["slice"].iloc[0],
+            "left_id": left["left_id"].astype("int64"),
+            "right_id": -1, "ts": left["ts"]}))
+    if not right.empty:
+        # per-key last order in this slice (tie rule: max (ts, id))
+        last = (right.sort_values(["ts", "right_id"], kind="stable")
+                .groupby("key", sort=False).tail(1))
+        out.append(pd.DataFrame({
+            "kind": 2, "bucket": bucket, "key": last["key"].astype("int64"),
+            "slice": group["slice"].iloc[0],
+            "left_id": -1,
+            "right_id": last["right_id"].astype("int64"),
+            "ts": last["ts"]}))
+    if not out:
+        return pd.DataFrame({"kind": pd.Series([], dtype="int64"),
+                             "bucket": pd.Series([], dtype="int64"),
+                             "key": pd.Series([], dtype="int64"),
+                             "slice": pd.Series([], dtype="int64"),
+                             "left_id": pd.Series([], dtype="int64"),
+                             "right_id": pd.Series([], dtype="int64"),
+                             "ts": pd.Series([], dtype="datetime64[us]")})
+    return pd.concat(out, ignore_index=True)
+
+
+def _sliced_asof_phase2(group: pd.DataFrame) -> pd.DataFrame:
+    """One key-bucket of carry rows: for each unmatched event (kind=1)
+    find the last-order summary (kind=2) of the latest EARLIER slice —
+    slices partition time, so any earlier-slice order precedes the
+    event.  Matched rows (kind=0) pass through."""
+    matched = group[group["kind"] == 0]
+    out = [pd.DataFrame({
+        "event_id": matched["left_id"].astype("int64"),
+        "user_id": matched["key"].astype("int64"),
+        "o_orderkey": matched["right_id"].astype("int64")})]
+    miss = group[group["kind"] == 1]
+    summ = group[group["kind"] == 2]
+    if not miss.empty and not summ.empty:
+        ms = miss.sort_values("slice", kind="stable")
+        ss = summ.sort_values(["slice", "ts", "right_id"], kind="stable")
+        carried = pd.merge_asof(
+            ms[["key", "slice", "left_id"]],
+            ss[["key", "slice", "right_id"]],
+            on="slice", by="key", direction="backward",
+            allow_exact_matches=False)    # strictly earlier slice
+        hit = carried.dropna(subset=["right_id"])
+        out.append(pd.DataFrame({
+            "event_id": hit["left_id"].astype("int64"),
+            "user_id": hit["key"].astype("int64"),
+            "o_orderkey": hit["right_id"].astype("int64")}))
+    return pd.concat(out, ignore_index=True)
+
+
 def asof_join_events_orders(events_ds, orders_ds, *,
-                            num_buckets: int | None = None):
+                            num_buckets: int | None = None,
+                            slice_sec: int | None = None):
     """(event_id, user_id, o_orderkey) — latest order at or before each
     event's timestamp, per customer.
 
@@ -95,10 +189,16 @@ def asof_join_events_orders(events_ds, orders_ds, *,
     transformed lineage fully lazy).  Both sides are pruned to the
     join columns BEFORE the bucket shuffle (_tag_left/_tag_right), so
     a bucket group holds ~1/B of the narrow join keys, never the full
-    payload rows.  Caveat: ``merge_asof(by=key)`` needs all rows of
-    one key in one bucket, so a single pathologically hot KEY still
-    bounds a task; splitting a hot key needs a time-sliced prefix scan
-    (carry the latest order across slice boundaries) — not implemented."""
+    payload rows.
+
+    ``slice_sec`` defuses HOT KEYS: with it set, phase 1 groups by
+    (key bucket, time slice) — a hot key's history is split across
+    slices, so no task holds it whole — and resolves in-slice matches;
+    events whose match precedes their slice re-group per key with ONE
+    last-order summary row per (key, slice) and take the latest
+    earlier slice's carry (exact, because slices partition time).
+    Phase-2 load per key = unmatched events + slice summaries, not the
+    full history.  ``None`` keeps the single-pass shape."""
     import functools
     if num_buckets is None:
         num_buckets = derive_num_buckets(
@@ -108,5 +208,13 @@ def asof_join_events_orders(events_ds, orders_ds, *,
     both = left.union(right).map_batches(
         functools.partial(_add_bucket, num_buckets=num_buckets),
         batch_format="pyarrow")
-    return both.groupby("bucket").map_groups(_bucket_asof,
-                                             batch_format="pandas")
+    if slice_sec is None:
+        return both.groupby("bucket").map_groups(_bucket_asof,
+                                                 batch_format="pandas")
+    both = both.map_batches(
+        functools.partial(_add_slice, slice_sec=slice_sec),
+        batch_format="pyarrow")
+    phase1 = both.groupby(["bucket", "slice"]).map_groups(
+        _sliced_asof_phase1, batch_format="pandas")
+    return phase1.groupby("bucket").map_groups(
+        _sliced_asof_phase2, batch_format="pandas")

@@ -84,3 +84,71 @@ def test_asof_bucketing_spans_keys(ray_session):
                                 num_buckets=16).take_all()
     key = lambda r: (r["event_id"], r["o_orderkey"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_asof_sliced_matches_unsliced(ray_session):
+    import ray.data
+    ev, od = make_tables()
+    base = asof_join_events_orders(ray.data.from_arrow(ev),
+                                   ray.data.from_arrow(od),
+                                   num_buckets=4).take_all()
+    # tiny slices force cross-slice carries
+    sliced = asof_join_events_orders(ray.data.from_arrow(ev),
+                                     ray.data.from_arrow(od),
+                                     num_buckets=4,
+                                     slice_sec=86400).take_all()
+    key = lambda r: (r["event_id"], r["user_id"], r["o_orderkey"])
+    assert sorted(map(key, base)) == sorted(map(key, sliced))
+
+
+def test_asof_sliced_hot_key_randomized(ray_session):
+    """One hot user owns most events; sliced mode must agree with a
+    local reference while splitting the hot history across slices."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(17)
+    base = dt.datetime(2024, 1, 1)
+    ev_rows, od_rows = [], []
+    eid = oid = 0
+    for u, n_ev, n_od in [(1, 300, 12), (2, 30, 5), (3, 20, 0)]:
+        for _ in range(n_ev):
+            eid += 1
+            ev_rows.append({"event_id": eid, "user_id": u,
+                            "ts": base + dt.timedelta(
+                                minutes=int(rng.randint(0, 20000)))})
+        for _ in range(n_od):
+            oid += 1
+            od_rows.append({"o_orderkey": oid, "o_custkey": u,
+                            "o_orderdate": base + dt.timedelta(
+                                minutes=int(rng.randint(0, 20000)))})
+
+    def t(df):
+        tb = pa.Table.from_pandas(df, preserve_index=False)
+        for c in tb.schema.names:
+            if tb.schema.field(c).type == pa.timestamp("ns"):
+                tb = tb.set_column(tb.schema.names.index(c), c,
+                                   tb.column(c).cast(pa.timestamp("us")))
+        return tb
+
+    ev = t(pd.DataFrame(ev_rows))
+    od = t(pd.DataFrame(od_rows))
+
+    # local reference
+    ref = {}
+    for e in ev_rows:
+        cands = [o for o in od_rows
+                 if o["o_custkey"] == e["user_id"]
+                 and o["o_orderdate"] <= e["ts"]]
+        if cands:
+            best = max(cands, key=lambda o: (o["o_orderdate"],
+                                             o["o_orderkey"]))
+            ref[e["event_id"]] = best["o_orderkey"]
+
+    out = asof_join_events_orders(
+        ray.data.from_arrow(ev), ray.data.from_arrow(od),
+        num_buckets=4, slice_sec=86400).take_all()
+    got = {r["event_id"]: r["o_orderkey"] for r in out}
+    assert got == ref
