@@ -9,15 +9,20 @@ Modules:
     selector_query  distributed matcher queries over templates
     table_query     scoped structured-table scrape (Q5)
     dedup           exact / MinHash+LSH / SimHash near-dup
-    similarity      brute-force + LSH ANN, embedding near-dup pairs
+                    (auto exchange plan, distributed co-group verify)
+    graph           connected components: pairs → dup clusters/keepers
+    similarity      brute-force + LSH + IVF ANN, embedding near-dups
     text_analysis   token stats, quality, lang-id, fingerprints,
-                    jaccard-vs-query, frequent tokens
-    sketches        HyperLogLog distinct counting + exact counterpart
-    windows         tumbling / session windows over event logs
-    asof            point-in-time join (bucketed merge_asof)
+                    jaccard-vs-query, frequent tokens, repetition,
+                    stratified sampling, top-k tokens per group
+    corpus_stats    TF-IDF (co-group df), benchmark decontamination
+    sketches        HyperLogLog + count-min (mergeable blobs)
+    windows         tumbling / two-phase session windows
+    asof            point-in-time join (bucketed merge_asof,
+                    time-sliced hot-key path)
     lookup          broadcast dimension lookup (no-shuffle join)
-    media           multimodal binary columns (stub decode)
-    pdf             PDF/layout parse plumbing (stub decode)
+    media           multimodal binary columns (codec auto-probe)
+    pdf             PDF/layout parse plumbing (auto-probe)
 """
 
 from .assemble import assemble_html
