@@ -471,6 +471,20 @@ def _q_asof_orders(sf_dir: str):
     return asof_join_events_orders(ev, od, slice_sec=7 * 86400)
 
 
+def _q_range_orders(sf_dir: str):
+    """Range (interval) join: per event, same-customer orders within
+    the trailing 30-day window — the bounded-window companion to the
+    as-of join, same bucketed co-group shape."""
+    import ray.data
+    from gumbo_pp_ray.stages.asof import range_count_events_orders
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    od = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+    return range_count_events_orders(ev, od, window_sec=30 * 86400)
+
+
 def _q_pdf_layout(sf_dir: str):
     """PDF/layout plumbing: deterministic fake payloads per doc →
     stubbed layout parse → reading-order span reconstruction
@@ -735,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "spans_by_lang": _q_spans_by_lang,
         "asof_orders": _q_asof_orders,
+        "range_orders": _q_range_orders,
         "events_by_segment": _q_events_by_segment,
     }
 
@@ -971,6 +986,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT o.o_orderkey FROM orders o
               WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) x
+        """,
+        "range_orders": """
+            SELECT e.event_id, e.user_id,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+            FROM events e LEFT JOIN (
+              SELECT e2.event_id AS eid, count(*) AS n
+              FROM events e2 JOIN orders o
+                ON o.o_custkey = e2.user_id
+               AND o.o_orderdate <= e2.ts
+               AND o.o_orderdate >= e2.ts - INTERVAL 30 DAY
+              GROUP BY 1) c ON c.eid = e.event_id
         """,
         "tumbling_counts": """
             SELECT user_id,

@@ -218,3 +218,68 @@ def asof_join_events_orders(events_ds, orders_ds, *,
         _sliced_asof_phase1, batch_format="pandas")
     return phase1.groupby("bucket").map_groups(
         _sliced_asof_phase2, batch_format="pandas")
+
+
+def _bucket_range_count(group: pd.DataFrame, *, window_sec: int
+                        ) -> pd.DataFrame:
+    """One key bucket: per event, count same-key orders with
+    o_orderdate in [ts - window, ts].  Orders are sorted once per key
+    and each key's events resolve both interval bounds with
+    np.searchsorted — per-key work is O((E+O) log O), never a
+    cartesian merge."""
+    left = group[group["src"] == 0]
+    right = group[group["src"] == 1]
+    if left.empty:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "n_orders": pd.Series([], dtype="int64")})
+    out_e, out_u, out_n = [], [], []
+    window = np.timedelta64(window_sec, "s")
+    rs = right.sort_values(["key", "ts"], kind="stable")
+    r_keys = rs["key"].to_numpy()
+    r_ts = rs["ts"].to_numpy()
+    key_starts = np.searchsorted(r_keys, np.unique(r_keys), side="left")
+    key_index = dict(zip(np.unique(r_keys).tolist(),
+                         zip(key_starts.tolist(),
+                             np.searchsorted(r_keys, np.unique(r_keys),
+                                             side="right").tolist())))
+    for key, ev in left.groupby("key", sort=False):
+        ets = ev["ts"].to_numpy()
+        span = key_index.get(key)
+        if span is None:
+            counts = np.zeros(len(ets), dtype=np.int64)
+        else:
+            lo, hi = span
+            odates = r_ts[lo:hi]
+            a = np.searchsorted(odates, ets - window, side="left")
+            b = np.searchsorted(odates, ets, side="right")
+            counts = (b - a).astype(np.int64)
+        out_e.extend(ev["left_id"].astype("int64").tolist())
+        out_u.extend([int(key)] * len(ets))
+        out_n.extend(counts.tolist())
+    return pd.DataFrame({"event_id": pd.Series(out_e, dtype="int64"),
+                         "user_id": pd.Series(out_u, dtype="int64"),
+                         "n_orders": pd.Series(out_n, dtype="int64")})
+
+
+def range_count_events_orders(events_ds, orders_ds, *,
+                              window_sec: int = 30 * 86400,
+                              num_buckets: int | None = None):
+    """Range (interval) join, counting form: for every event, the
+    number of same-customer orders with o_orderdate in
+    [ts - window_sec, ts].  Same bucketed co-group shape as the as-of
+    join; the exchange carries only join columns.  Events with zero
+    matching orders are KEPT (count 0) so the output is total over
+    events."""
+    import functools
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(
+            events_ds.count() + orders_ds.count())
+    left = events_ds.map_batches(_tag_left, batch_format="pyarrow")
+    right = orders_ds.map_batches(_tag_right, batch_format="pyarrow")
+    both = left.union(right).map_batches(
+        functools.partial(_add_bucket, num_buckets=num_buckets),
+        batch_format="pyarrow")
+    return both.groupby("bucket").map_groups(
+        functools.partial(_bucket_range_count, window_sec=window_sec),
+        batch_format="pandas")

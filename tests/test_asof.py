@@ -152,3 +152,20 @@ def test_asof_sliced_hot_key_randomized(ray_session):
         num_buckets=4, slice_sec=86400).take_all()
     got = {r["event_id"]: r["o_orderkey"] for r in out}
     assert got == ref
+
+
+def test_range_count_semantics(ray_session):
+    import ray.data
+    from gumbo_pp_ray.stages.asof import range_count_events_orders
+    ev, od = make_tables()
+    # window of 6 days
+    out = range_count_events_orders(ray.data.from_arrow(ev),
+                                    ray.data.from_arrow(od),
+                                    window_sec=6 * 86400,
+                                    num_buckets=4).take_all()
+    got = {r["event_id"]: r["n_orders"] for r in out}
+    # event 1 (u7, Jan10): orders Jan5, Jan15 → only Jan5 in [Jan4, Jan10] → 1
+    # event 2 (u7, Jan20): Jan15 in [Jan14, Jan20] → 1
+    # event 3 (u8, Jan5): both Jan5 orders within window → 2
+    # event 4 (u9, Jan2): order Jan9 is AFTER the event → 0 (kept)
+    assert got == {1: 1, 2: 1, 3: 2, 4: 0}
