@@ -581,6 +581,33 @@ def _q_lang_stats(sf_dir: str):
     return agg.map_batches(fix, batch_format="pyarrow")
 
 
+def _q_lang_percentiles(sf_dir: str):
+    """Per-language discrete percentiles (quantile_disc semantics:
+    sorted[ceil(p*n)-1]) + exact distinct-source counts — grouped
+    order statistics beyond the built-in aggregates."""
+    import math
+
+    def pctl(group: pa.Table) -> pa.Table:
+        import numpy as np
+        nc = np.sort(group.column("n_chars").to_numpy(
+            zero_copy_only=False))
+        n = len(nc)
+
+        def q(p):
+            return int(nc[max(0, math.ceil(p * n) - 1)])
+
+        n_sources = len(set(group.column("source").to_pylist()))
+        return pa.table({
+            "lang": group.column("lang").slice(0, 1),
+            "p50_chars": pa.array([q(0.5)], pa.int64()),
+            "p90_chars": pa.array([q(0.9)], pa.int64()),
+            "n_sources": pa.array([n_sources], pa.int64()),
+        })
+
+    return _docs(sf_dir, ("doc_id", "lang", "source", "n_chars")) \
+        .groupby("lang").map_groups(pctl, batch_format="pyarrow")
+
+
 def _q_top_tokens_by_lang(sf_dir: str):
     """Per-language token leaderboard (combiner pre-agg → grouped sum
     → per-group top-k with a total order)."""
@@ -733,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_totals": _q_extract_totals,
         "repetition_stats": _q_repetition_stats,
         "lang_stats": _q_lang_stats,
+        "lang_percentiles": _q_lang_percentiles,
         "top_tokens_by_lang": _q_top_tokens_by_lang,
         "tfidf_scores": _q_tfidf_scores,
         "decontam": _q_decontam,
@@ -1047,6 +1075,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    CAST(min(n_chars) AS BIGINT) AS min_chars,
                    CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_percentiles": """
+            SELECT lang,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                     AS p50_chars,
+                   CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+                     AS p90_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
             FROM documents GROUP BY lang
         """,
         "top_tokens_by_lang": r"""
