@@ -45,8 +45,8 @@ _WS_RUN = re.compile(r"\s+")
 STRIP_TAGS = frozenset((
     "script", "style", "noscript", "template", "iframe", "head",
     "nav", "aside", "header", "footer", "form", "button", "select",
-    "option", "textarea", "label", "datalist", "svg", "object",
-    "applet", "link", "meta", "base",
+    "option", "textarea", "label", "datalist", "svg", "math",
+    "object", "applet", "link", "meta", "base",
 ))
 
 # class/id tokens that mark ad/boilerplate containers (heuristic part

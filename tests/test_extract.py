@@ -205,3 +205,17 @@ def test_extract_metadata():
                  "lang": "fr", "og": {"title": "OT"}}
     empty = extract_metadata(parse("<p>nothing</p>"))
     assert empty["title"] == "" and empty["og"] == {}
+
+
+def test_svg_and_mathml_subtrees_stripped():
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+    from gumbo_pp_ray.html.parser import parse
+
+    page = ("<html><body><article><p>Real text.</p>"
+            "<svg viewBox='0 0 10 10'><title>chart</title>"
+            "<text x='1' y='1'>42%</text></svg>"
+            "<math><mi>x</mi><mo>=</mo><mn>1</mn></math>"
+            "<p>More text.</p></article></body></html>")
+    spans = list(extract_spans(parse(page), DEFAULT_PROFILE))
+    texts = [s[1] for s in spans]
+    assert texts == ["Real text.", "More text."]
