@@ -648,6 +648,23 @@ def _q_sample_by_lang(sf_dir: str):
                              stratum_col="lang", k=20)
 
 
+def _q_corpus_prep(sf_dir: str):
+    """END-TO-END training-corpus prep: quality filter →
+    decontamination (vs docs 0-4's 3-grams) → exact dedup keep-min →
+    (doc_id, n_tokens).  One fused map + one hash shuffle; the whole
+    composition has a single exact oracle."""
+    import ray
+    import pyarrow.parquet as pq
+    from gumbo_pp_ray.pipelines.prep_pipeline import prep_training_corpus
+    from gumbo_pp_ray.stages.corpus_stats import ngram_set
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", 5)])
+    bench_ref = ray.put(ngram_set(t.column("text").to_pylist(), n=3))
+    return prep_training_corpus(_docs(sf_dir, ("doc_id", "text")),
+                                bench_ref, min_quality_milli=500)
+
+
 def _q_sample_20pct(sf_dir: str):
     """Deterministic hash sampling (reproducible splits): same keys on
     every run/partitioning, no RNG state."""
@@ -767,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_lang": _q_sample_by_lang,
         "dup_clusters": _q_dup_clusters,
         "dup_cluster_keepers": _q_dup_cluster_keepers,
+        "corpus_prep": _q_corpus_prep,
         "sample_20pct": _q_sample_20pct,
         "frequent_tokens": _q_frequent_tokens,
         "vocab_size": _q_vocab_size,
@@ -1182,6 +1200,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
             FROM walk GROUP BY doc_id
             HAVING doc_id = min(r)
+        """,
+        "corpus_prep": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS t
+              FROM documents),
+            q AS (
+              SELECT doc_id, text, t,
+                     400 * LEAST(len(t), 200) // 200
+                     + 300 * len(list_distinct(t)) // GREATEST(len(t), 1)
+                     + 300 * length(regexp_replace(text, '[^A-Za-z]',
+                                                   '', 'g'))
+                       // GREATEST(length(text), 1) AS quality_milli
+              FROM toks),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+            hits AS (SELECT g.doc_id, count(DISTINCT g.g) AS n
+                     FROM grams g JOIN bench b ON g.g = b.g GROUP BY 1),
+            ok AS (
+              SELECT q.doc_id, md5(q.text) AS h,
+                     CAST(len(q.t) AS BIGINT) AS n_tokens
+              FROM q LEFT JOIN hits ON q.doc_id = hits.doc_id
+              WHERE q.quality_milli >= 500
+                AND COALESCE(hits.n, 0) = 0)
+            SELECT doc_id, n_tokens FROM ok
+            QUALIFY row_number() OVER (PARTITION BY h
+                                       ORDER BY doc_id) = 1
         """,
         "sample_20pct": """
             SELECT doc_id FROM documents

@@ -81,3 +81,32 @@ def test_stratified_sample_deterministic(ray_session):
             hashlib.md5(f"42:{i}".encode()).hexdigest(), i))[:5]
         kept = sorted(r["doc_id"] for r in a if r["lang"] == lang)
         assert kept == sorted(ranked)
+
+
+def test_prep_training_corpus_composition(ray_session):
+    """End-to-end prep: low-quality docs, contaminated docs and exact
+    duplicates all drop; survivors keep the min doc_id per dup group."""
+    import ray
+    import ray.data
+    from gumbo_pp_ray.pipelines.prep_pipeline import prep_training_corpus
+
+    syl = ["ka", "ri", "to", "mu", "se", "lo", "ne", "vi", "da",
+           "po", "gu", "fa", "che", "bi"]
+    # ~196 distinct all-alpha tokens → long, diverse, high quality
+    good = " ".join(a + b for a in syl for b in syl)
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    contaminated = good + " " + bench_text
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [good, good,           # exact dups → keep doc 0
+                 contaminated,         # benchmark overlap → dropped
+                 "repeat repeat repeat repeat",   # low quality → dropped
+                 good + " unique tail extra"],
+    })
+    ref = ray.put(ngram_set([bench_text], n=3))
+    out = prep_training_corpus(ray.data.from_arrow(t), ref,
+                               min_quality_milli=500,
+                               concurrency=2).take_all()
+    got = {r["doc_id"]: r["n_tokens"] for r in out}
+    assert set(got) == {0, 4}
+    assert got[0] == len(good.split())
