@@ -339,6 +339,20 @@ def _q_emb_neardup(sf_dir: str):
     })
 
 
+def _q_emb_neardup_lsh(sf_dir: str):
+    """Bucket-first embedding near-dup (the scale path: hyperplane
+    buckets → in-bucket pairwise; rows-only, approximate recall)."""
+    from gumbo_pp_ray.stages.similarity import embedding_neardup_pairs_lsh
+    dim = _read_query_embeddings(sf_dir, n=1)["matrix"].shape[1]
+    ds = embedding_neardup_pairs_lsh(_emb(sf_dir), dim=dim,
+                                     threshold=0.5, n_planes=6)
+    rows = ds.take_all()
+    return pa.table({
+        "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),
+        "vec_b": pa.array([r["vec_b"] for r in rows], pa.int64()),
+    })
+
+
 def _q_page_metadata(sf_dir: str):
     """Head-metadata extraction (title / meta description) over the
     wrapped corpus — the content the span extractor strips."""
@@ -770,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_topk_lsh,        # rows-only (approximate)
         "ann_topk_ivf": _q_ann_topk_ivf,        # rows-only (approximate)
         "emb_neardup": _q_emb_neardup,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,  # rows-only (approximate)
         "page_metadata": _q_page_metadata,
         "media_refs": _q_media_refs,
         "media_decode": _q_media_decode,        # rows-only (stub decode)

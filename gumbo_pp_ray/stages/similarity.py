@@ -378,3 +378,46 @@ def ann_topk_ivf(ds, queries: dict, *, dim: int, k: int = 10,
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
     return cand.groupby("query_id").map_groups(
         _topk_reduce_factory(k, exclude_self), batch_format="pyarrow")
+
+
+def _bucket_pairs_group(group: pa.Table, *, threshold: float
+                        ) -> pa.Table:
+    """One hyperplane bucket: exact pairwise cosine within the bucket
+    (single matmul), pairs ≥ threshold."""
+    m = _normalize(_batch_matrix(group))
+    ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64())})
+    if len(ids) < 2:
+        return empty
+    sims = m @ m.T
+    ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+    a, b = ids[ai], ids[bj]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return pa.table({"vec_a": pa.array(a2, pa.int64()),
+                     "vec_b": pa.array(b2, pa.int64())})
+
+
+def embedding_neardup_pairs_lsh(ds, *, dim: int, threshold: float = 0.5,
+                                n_planes: int = 8, seed: int = 42,
+                                num_partitions: int | None = None):
+    """SCALE path for embedding near-dups: hyperplane sign buckets →
+    ONE groupby(bucket) → exact pairwise cosine within each bucket.
+    No broadcast corpus matrix, no all-pairs — the quadratic work is
+    bounded per bucket (2^n_planes cells).  Approximate: pairs whose
+    members land in different buckets are missed (recall measured in
+    tests; raise by lowering n_planes or multi-probe re-runs with
+    different seeds).  Output distinct by construction (one bucket
+    per vector)."""
+    import functools
+    bucketed = ds.map_batches(
+        functools.partial(lsh_bucket_stage, dim=dim, n_planes=n_planes,
+                          seed=seed),
+        batch_format="pyarrow", batch_size=4096)
+    gb = (bucketed.groupby("bucket", num_partitions=num_partitions)
+          if num_partitions else bucketed.groupby("bucket"))
+    return gb.map_groups(
+        functools.partial(_bucket_pairs_group, threshold=threshold),
+        batch_format="pyarrow")

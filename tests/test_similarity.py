@@ -141,3 +141,34 @@ def test_ann_topk_ivf_recall(ray_session):
                                   n_clusters=8, n_probe=8,
                                   concurrency=2).take_all()}
     assert full == exact
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import (
+        _normalize, embedding_neardup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(5)
+    dim = 12
+    base = rng.standard_normal((40, dim))
+    # planted near-dups: tiny perturbations of the first 10 vectors
+    near = base[:10] + rng.standard_normal((10, dim)) * 0.01
+    vecs = np.concatenate([base, near])
+    t = pa.table({"vec_id": list(range(len(vecs))),
+                  "embedding": [v.tolist() for v in vecs]})
+    got = {(r["vec_a"], r["vec_b"])
+           for r in embedding_neardup_pairs_lsh(
+               ray.data.from_arrow(t), dim=dim, threshold=0.95,
+               n_planes=4).take_all()}
+    planted = {(i, 40 + i) for i in range(10)}
+    # exact truth at this threshold = the planted pairs
+    nm = _normalize(vecs)
+    sims = nm @ nm.T
+    truth = {(i, j) for i in range(len(vecs))
+             for j in range(i + 1, len(vecs)) if sims[i, j] >= 0.95}
+    assert truth == planted
+    assert got <= truth                      # no false positives
+    assert len(got) / len(truth) >= 0.6      # bucketed recall
