@@ -25,6 +25,22 @@ import pyarrow as pa
 _SF0001 = "/root/testdata/sf0.001"
 
 
+def _qconc():
+    """Query-level actor-pool bounds: AUTOSCALING (1, cpus-2).
+
+    The driver runs ~60 queries sequentially in ONE Ray session; each
+    fixed-size pool waits for its full actor complement before
+    processing, and slow teardown of the previous query's pool can
+    starve that wait forever (observed livelock after ~37 sequential
+    queries).  Autoscaling pools start with one actor and never wait,
+    and sf0.01 correctness runs are too short for the fixed-pool
+    steady-state advantage to matter (bench.py keeps fixed pools for
+    the throughput path).
+    """
+    from gumbo_pp_ray.state.sizing import default_concurrency
+    return default_concurrency()
+
+
 def _docs(sf_dir: str, columns=("doc_id", "text", "lang", "source")):
     import ray.data
     return ray.data.read_parquet(
@@ -42,7 +58,8 @@ def entry() -> Any:
 
     ds = _docs(_SF0001).map_batches(wrap_documents_chunked,
                                     batch_format="pyarrow")
-    return extract_dataset(ds, split_threshold=256, batch_size=64)
+    return extract_dataset(ds, split_threshold=256, batch_size=64,
+                          concurrency=_qconc())
 
 
 # ------------------------------------------------------------- queries
@@ -55,7 +72,8 @@ def _q_extract_flagship(sf_dir: str):
     from gumbo_pp_ray.stages.explode import explode_spans
 
     ds = _docs(sf_dir).map_batches(wrap_documents, batch_format="pyarrow")
-    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    out = extract_dataset(ds, split_threshold=256, batch_size=64,
+                          concurrency=_qconc())
     return (out.select_columns(["doc_id", "spans"])
                .map_batches(explode_spans, batch_format="pyarrow"))
 
@@ -65,13 +83,13 @@ def _sel(selector_builder):
     per-row template; see stages/selector_query.py."""
     def run(sf_dir: str):
         from gumbo_pp_ray.stages.selector_query import SelectorQuery
-        from gumbo_pp_ray.state.sizing import default_pool_size
+        from gumbo_pp_ray.state.sizing import default_concurrency
         return _docs(sf_dir, ("doc_id", "text", "lang", "source",
                               "n_chars")).map_batches(
             SelectorQuery,
             fn_constructor_kwargs={"selector": selector_builder()},
             batch_format="pyarrow", batch_size=256,
-            concurrency=default_pool_size())
+            concurrency=default_concurrency())
     return run
 
 
@@ -215,10 +233,10 @@ def _q_token_stats(sf_dir: str):
 
 def _q_quality_score(sf_dir: str):
     from gumbo_pp_ray.stages.text_analysis import QualityScore
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
     return _docs(sf_dir).map_batches(
         QualityScore, batch_format="pyarrow",
-        concurrency=default_pool_size())
+        concurrency=default_concurrency())
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -250,25 +268,25 @@ def _q_word_jaccard(sf_dir: str):
 
 def _q_lang_id(sf_dir: str):
     from gumbo_pp_ray.stages.text_analysis import LangId
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
     return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_pool_size())
+        LangId, batch_format="pyarrow", concurrency=default_concurrency())
 
 
 def _q_fingerprints(sf_dir: str):
     from gumbo_pp_ray.stages.text_analysis import Fingerprint
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
     ds = _docs(sf_dir).map_batches(
         Fingerprint, batch_format="pyarrow",
-        concurrency=default_pool_size())
+        concurrency=default_concurrency())
     return ds.select_columns(["doc_id", "n_fingerprints"])
 
 
 def _q_simhash(sf_dir: str):
     from gumbo_pp_ray.stages.dedup import SimHash
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
     return _docs(sf_dir).map_batches(
-        SimHash, batch_format="pyarrow", concurrency=default_pool_size())
+        SimHash, batch_format="pyarrow", concurrency=default_concurrency())
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -382,7 +400,8 @@ def _q_media_refs(sf_dir: str):
     from gumbo_pp_ray.pipelines.wrap import wrap_documents
     from gumbo_pp_ray.stages.media import collect_media_refs
     ds = _docs(sf_dir).map_batches(wrap_documents, batch_format="pyarrow")
-    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    out = extract_dataset(ds, split_threshold=256, batch_size=64,
+                          concurrency=_qconc())
     return (out.select_columns(["doc_id", "spans"])
                .map_batches(collect_media_refs, batch_format="pyarrow"))
 
@@ -414,7 +433,8 @@ def _q_spans_by_lang(sf_dir: str):
 
     docs = _docs(sf_dir)
     ds = docs.map_batches(wrap_documents, batch_format="pyarrow")
-    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    out = extract_dataset(ds, split_threshold=256, batch_size=64,
+                          concurrency=_qconc())
     left = out.select_columns(["doc_id", "n_spans"])
     right = _docs(sf_dir, ("doc_id", "lang")).map_batches(
         lambda t: t.set_column(0, "doc_id",
@@ -454,7 +474,7 @@ def _q_events_by_segment(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
     from gumbo_pp_ray.stages.lookup import BroadcastLookup, broadcast_dim
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
 
     dim = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                         columns=["c_custkey", "c_mktsegment"])
@@ -465,7 +485,7 @@ def _q_events_by_segment(sf_dir: str):
         BroadcastLookup,
         fn_constructor_kwargs={"dim_ref": ref, "fk_col": "user_id",
                                "out_col": "segment"},
-        batch_format="pyarrow", concurrency=default_pool_size())
+        batch_format="pyarrow", concurrency=default_concurrency())
     out = tagged.groupby("segment").count()
     return out.map_batches(
         lambda t: t.rename_columns(["segment", "n_events"]),
@@ -506,7 +526,7 @@ def _q_pdf_layout(sf_dir: str):
     what runs)."""
     import pyarrow as pa_
     from gumbo_pp_ray.stages.pdf import PdfParse, layout_to_spans
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
 
     def payloads(batch):
         ids = [str(i) for i in batch.column("doc_id").to_pylist()]
@@ -523,7 +543,7 @@ def _q_pdf_layout(sf_dir: str):
     out = (ds.map_batches(PdfParse,
                           fn_constructor_kwargs={"parser": "fake"},
                           batch_format="pyarrow", batch_size=64,
-                          concurrency=default_pool_size())
+                          concurrency=default_concurrency())
              .map_batches(layout_to_spans, batch_format="pyarrow"))
     from gumbo_pp_ray.stages.explode import explode_spans
     return out.map_batches(explode_spans, batch_format="pyarrow")
@@ -720,10 +740,10 @@ def _q_cms_counts(sf_dir: str):
 
 def _q_table_scrape(sf_dir: str):
     from gumbo_pp_ray.stages.table_query import TableScrapeQuery
-    from gumbo_pp_ray.state.sizing import default_pool_size
+    from gumbo_pp_ray.state.sizing import default_concurrency
     return _docs(sf_dir, ("doc_id", "lang", "source", "n_chars")) \
         .map_batches(TableScrapeQuery, batch_format="pyarrow",
-                     batch_size=256, concurrency=default_pool_size())
+                     batch_size=256, concurrency=default_concurrency())
 
 
 def _q_extract_totals(sf_dir: str):
@@ -734,7 +754,8 @@ def _q_extract_totals(sf_dir: str):
     from gumbo_pp_ray.pipelines.wrap import wrap_documents
 
     ds = _docs(sf_dir).map_batches(wrap_documents, batch_format="pyarrow")
-    out = extract_dataset(ds, split_threshold=256, batch_size=64)
+    out = extract_dataset(ds, split_threshold=256, batch_size=64,
+                          concurrency=_qconc())
     agg = out.aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("n_spans", alias_name="n_spans"),
