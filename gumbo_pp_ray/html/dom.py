@@ -134,8 +134,12 @@ class Element(Node):
     insertion point, mirroring gumbo's empty original_tag slices.
     """
 
+    # ``tag``/``attrs`` are direct slots (shadowing the Node-level
+    # properties via the member descriptors): they are the hottest
+    # attribute reads in parse/select — a property getter per access
+    # measurably shows up at 100k+ lookups per batch
     __slots__ = (
-        "_tag", "_attrs", "_children",
+        "tag", "attrs", "_children",
         "start", "start_tag_end", "end_tag_start", "end", "implied",
     )
 
@@ -144,8 +148,8 @@ class Element(Node):
         self.kind = TEMPLATE if tag == "template" else ELEMENT
         self.parent = None
         self.index_within_parent = 0
-        self._tag = tag
-        self._attrs = attrs
+        self.tag = tag
+        self.attrs = attrs
         self._children = []
         self.start = start
         self.start_tag_end = start_tag_end
@@ -154,37 +158,29 @@ class Element(Node):
         self.implied = implied
 
     @property
-    def tag(self) -> str:
-        return self._tag
-
-    @property
-    def attrs(self) -> dict:
-        return self._attrs
-
-    @property
     def children(self):
         return self._children
 
     def attr(self, name: str, default=None):
-        return self._attrs.get(name, default)
+        return self.attrs.get(name, default)
 
     def has_attr(self, name: str) -> bool:
-        return name in self._attrs
+        return name in self.attrs
 
     def attr_at(self, i: int):
         """get_attribute_node_at (reference gumbo_util.h:72-98) →
         (name, value) or None."""
-        if 0 <= i < len(self._attrs):
-            k = list(self._attrs)[i]
-            return (k, self._attrs[k])
+        if 0 <= i < len(self.attrs):
+            k = list(self.attrs)[i]
+            return (k, self.attrs[k])
         return None
 
     @property
     def attr_count(self) -> int:
-        return len(self._attrs)
+        return len(self.attrs)
 
     def __repr__(self):
-        return f"<Element {self._tag} @{self.start}:{self.end}>"
+        return f"<Element {self.tag} @{self.start}:{self.end}>"
 
 
 class TextNode(Node):
