@@ -115,8 +115,15 @@ def run_extraction(
     files_per_wave: int = 32,
     resume: bool = True,
     max_doc_bytes: int | None = 256 * 1024 * 1024,
+    output_format: str = "parquet",
 ) -> dict:
     """Checkpoint-resumable extraction job. Returns run summary.
+
+    ``output_format="lance"`` writes each wave as a Lance dataset
+    (the north rule's storage target) when the ``lance`` wheel is
+    importable — raises ImportError otherwise (this sandbox ships no
+    lance); ``"parquet"`` (default) writes identically-shaped parquet.
+    Wave commit/resume semantics are format-independent.
 
     Pool default differs from extract_dataset's: a multi-WAVE job
     creates one actor pool per wave, and back-to-back creation/teardown
@@ -171,11 +178,19 @@ def run_extraction(
         # pipelines read/parse/write; materializing here would serialize
         # the phases and hold the whole wave in the object store —
         # measured 3x slower end-to-end).
-        out.write_parquet(tmp_dir)
+        if output_format == "lance":
+            import lance  # noqa: F401  (raises if unavailable)
+            out.write_lance(tmp_dir)
+        else:
+            out.write_parquet(tmp_dir)
         # post-write accounting from the WRITTEN files: a narrow
         # column-pruned read of the counters, no re-extraction
-        written = ray.data.read_parquet(
-            tmp_dir, columns=["status", "n_spans", "n_parse_errors"])
+        if output_format == "lance":
+            written = ray.data.read_lance(
+                tmp_dir, columns=["status", "n_spans", "n_parse_errors"])
+        else:
+            written = ray.data.read_parquet(
+                tmp_dir, columns=["status", "n_spans", "n_parse_errors"])
         # counters over ok rows (error rows carry sentinel -1s);
         # count over everything
         stats = written.filter(expr="status == 'ok'").aggregate(

@@ -340,3 +340,22 @@ def test_custom_profile_ships_to_actors(ray_session):
     texts = [s["text"] for s in spans]
     assert "real   prose stays with its   spacing" in texts  # raw ws kept
     assert all("A" != s["text"] for s in spans)              # nav run pruned
+
+
+def test_run_extraction_lance_requires_wheel(ray_session, tmp_path):
+    """output_format='lance' is import-gated: without the wheel it
+    raises ImportError before writing anything."""
+    import pytest
+
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    inp = str(tmp_path / "lc")
+    write_corpus(inp, CorpusSpec(num_docs=10, mega_every=0), files=1)
+    try:
+        import lance  # noqa: F401
+        pytest.skip("lance installed; the gated branch is live")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        run_extraction(inp, str(tmp_path / "lo"), files_per_wave=1,
+                       concurrency=2, output_format="lance")
