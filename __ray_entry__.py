@@ -462,6 +462,23 @@ def _q_tumbling_counts(sf_dir: str):
     return tumbling_counts(_events(sf_dir), window_sec=86400)
 
 
+def _q_hopping_counts(sf_dir: str):
+    """Overlapping (hopping) windows: 1-day windows advancing every
+    6 hours — each event counted in 4 windows."""
+    from gumbo_pp_ray.stages.windows import hopping_counts
+    return hopping_counts(_events(sf_dir), window_sec=86400,
+                          hop_sec=21600)
+
+
+def _q_norm_text(sf_dir: str):
+    """Unicode NFC + lowercase + whitespace-collapse normalization
+    (the standard pre-tokenization step); md5 of the normalized form
+    doubles as the downstream dedup key."""
+    from gumbo_pp_ray.stages.text_analysis import normalize_text
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        normalize_text, batch_format="pyarrow")
+
+
 def _q_session_windows(sf_dir: str):
     from gumbo_pp_ray.stages.windows import session_windows
     return session_windows(_events(sf_dir), gap_sec=1800)
@@ -828,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,            # rows-only (sketch)
         "pdf_layout": _q_pdf_layout,            # rows-only (stub decode)
         "tumbling_counts": _q_tumbling_counts,
+        "hopping_counts": _q_hopping_counts,
+        "norm_text": _q_norm_text,
         "session_windows": _q_session_windows,
         "spans_by_lang": _q_spans_by_lang,
         "asof_orders": _q_asof_orders,
@@ -1085,6 +1104,22 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) // 86400000000 AS window_id,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_counts": """
+            SELECT user_id, t.w AS window_id, count(*) AS n_events
+            FROM events, unnest(generate_series(
+                CAST((epoch_us(ts) - 86400000000) // 21600000000 + 1
+                     AS BIGINT),
+                CAST(epoch_us(ts) // 21600000000 AS BIGINT))) AS t(w)
+            GROUP BY 1, 2
+        """,
+        "norm_text": r"""
+            SELECT doc_id,
+                   regexp_replace(trim(lower(nfc_normalize(text))),
+                                  '\s+', ' ', 'g') AS norm_text,
+                   md5(regexp_replace(trim(lower(nfc_normalize(text))),
+                                      '\s+', ' ', 'g')) AS norm_hash
+            FROM documents
         """,
         "session_windows": """
             WITH marks AS (

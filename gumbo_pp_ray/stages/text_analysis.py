@@ -337,3 +337,30 @@ def top_tokens_by_group(ds, *, group_col: str = "lang", k: int = 5):
     return summed.groupby(group_col).map_groups(
         functools.partial(_topk_tokens_group, k=k, group_col=group_col),
         batch_format="pyarrow")
+
+
+def normalize_text(batch: pa.Table, *, form: str = "NFC",
+                   lowercase: bool = True,
+                   collapse_ws: bool = True) -> pa.Table:
+    """Training-data text normalization: Unicode normalization form
+    (NFC/NFKC — the standard pre-tokenization step), optional
+    lowercasing and whitespace collapse.  Emits the normalized text
+    plus its md5 (the join/dedup key downstream normalizers want).
+    Pure map; DuckDB's nfc_normalize/lower reproduce it exactly."""
+    import hashlib
+    import unicodedata
+    texts = batch.column("text").to_pylist()
+    out, hashes = [], []
+    for t in texts:
+        s = unicodedata.normalize(form, t)
+        if lowercase:
+            s = s.lower()
+        if collapse_ws:
+            s = " ".join(s.split())
+        out.append(s)
+        hashes.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "norm_text": pa.array(out, pa.string()),
+        "norm_hash": pa.array(hashes, pa.string()),
+    })

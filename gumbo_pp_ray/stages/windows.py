@@ -131,3 +131,48 @@ def session_windows(ds, *, key: str = "user_id", gap_sec: int = 1800,
         functools.partial(_merge_segments_group, gap_sec=gap_sec,
                           key=key),
         batch_format="pandas")
+
+
+def explode_hopping_windows(batch: pa.Table, *, window_sec: int,
+                            hop_sec: int, ts_col: str = "ts",
+                            key: str = "user_id") -> pa.Table:
+    """Each event belongs to window_sec/hop_sec overlapping windows
+    (window w covers [w*hop, w*hop + window)); explode to (key,
+    window_id) rows, fully vectorized (np.repeat + ranges)."""
+    ts = batch.column(ts_col)
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    w_us = np.int64(window_sec) * 1_000_000
+    h_us = np.int64(hop_sec) * 1_000_000
+    lo = (us - w_us) // h_us + 1
+    hi = us // h_us                           # inclusive
+    counts = (hi - lo + 1).astype(np.int64)
+    keys = batch.column(key).to_numpy(zero_copy_only=False)
+    rep_keys = np.repeat(keys, counts)
+    # per-event consecutive window ids, vectorized
+    total = int(counts.sum())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.arange(total) - np.repeat(offsets, counts)
+    win = np.repeat(lo, counts) + idx
+    return pa.table({
+        key: pa.array(rep_keys),
+        "window_id": pa.array(win, pa.int64()),
+    })
+
+
+def hopping_counts(ds, *, key: str = "user_id", window_sec: int = 3600,
+                   hop_sec: int = 900, ts_col: str = "ts"):
+    """Events per (key, hopping window): overlapping sliding windows
+    of ``window_sec`` advancing every ``hop_sec``.  The explode
+    multiplies rows by window/hop — keep the ratio modest (the only
+    shuffle then carries (key, window_id) rows)."""
+    import functools
+    ds = ds.map_batches(
+        functools.partial(explode_hopping_windows, window_sec=window_sec,
+                          hop_sec=hop_sec, ts_col=ts_col, key=key),
+        batch_format="pyarrow")
+    out = ds.groupby([key, "window_id"]).count()
+    return out.map_batches(
+        lambda t: t.rename_columns([key, "window_id", "n_events"]),
+        batch_format="pyarrow")

@@ -120,3 +120,20 @@ def test_top_tokens_by_group_pipeline(ray_session):
     got = {(r["lang"], r["rank"]): (r["token"], r["n"]) for r in out}
     assert got == {("en", 1): ("cat", 3), ("en", 2): ("dog", 2),
                    ("fr", 1): ("chat", 3), ("fr", 2): ("chien", 1)}
+
+
+def test_normalize_text_unit():
+    import pyarrow as pa
+    from gumbo_pp_ray.stages.text_analysis import normalize_text
+
+    # decomposed e + combining acute must normalize to composed é
+    decomposed = "Café  LATTE"
+    t = pa.table({"doc_id": [0], "text": [decomposed]})
+    out = normalize_text(t)
+    assert out.column("norm_text").to_pylist() == ["café latte"]
+    # NFC composed form, single codepoint
+    assert "́" not in out.column("norm_text").to_pylist()[0]
+    # hash matches md5 of the normalized form
+    import hashlib
+    assert out.column("norm_hash").to_pylist()[0] == \
+        hashlib.md5("café latte".encode()).hexdigest()

@@ -103,3 +103,23 @@ def test_session_windows_order_independent(ray_session):
     got = {(r["user_id"], r["session_id"]): r["n_events"]
            for r in out.take_all()}
     assert got == {(1, 0): 3, (1, 1): 2}
+
+
+def test_hopping_windows_membership(ray_session):
+    import ray.data
+    from gumbo_pp_ray.stages.windows import hopping_counts
+
+    # 1h windows hopping every 15min: each event in exactly 4 windows
+    t = to_table(ev(1, 0) + ev(1, 30) + ev(2, 90))
+    out = hopping_counts(ray.data.from_arrow(t), window_sec=3600,
+                         hop_sec=900).take_all()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["window_id"], r["n_events"]))
+    # total memberships = 4 per event
+    assert sum(n for _, n in per_user[1]) == 8
+    assert sum(n for _, n in per_user[2]) == 4
+    # the two user-1 events (0 and 30 min apart) co-occur in exactly
+    # the 2 windows covering both
+    assert sorted(n for _, n in per_user[1]).count(2) == 2
