@@ -509,6 +509,34 @@ def _q_events_by_segment(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _member_events(sf_dir: str, mode: str):
+    """Broadcast SEMI/ANTI join: events vs the BUILDING-segment
+    customer key set (ray.put once, vectorized membership per
+    batch — no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from gumbo_pp_ray.stages.lookup import BroadcastMembership, broadcast_keys
+    dim = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_mktsegment"],
+                        filters=[("c_mktsegment", "=", "BUILDING")])
+    ref = broadcast_keys(dim, "c_custkey")
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id"])
+    return ev.map_batches(
+        BroadcastMembership,
+        fn_constructor_kwargs={"dim_ref": ref, "fk_col": "user_id",
+                               "mode": mode},
+        batch_format="pyarrow", concurrency=_qconc())
+
+
+def _q_events_semi_building(sf_dir: str):
+    return _member_events(sf_dir, "semi")
+
+
+def _q_events_anti_building(sf_dir: str):
+    return _member_events(sf_dir, "anti")
+
+
 def _q_asof_orders(sf_dir: str):
     import ray.data
     from gumbo_pp_ray.stages.asof import asof_join_events_orders
@@ -851,6 +879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_by_lang": _q_spans_by_lang,
         "asof_orders": _q_asof_orders,
         "range_orders": _q_range_orders,
+        "events_semi_building": _q_events_semi_building,
+        "events_anti_building": _q_events_anti_building,
         "events_by_segment": _q_events_by_segment,
     }
 
@@ -1087,6 +1117,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT o.o_orderkey FROM orders o
               WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) x
+        """,
+        "events_semi_building": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+        """,
+        "events_anti_building": """
+            SELECT event_id, user_id FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment = 'BUILDING')
         """,
         "range_orders": """
             SELECT e.event_id, e.user_id,

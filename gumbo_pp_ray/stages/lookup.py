@@ -50,3 +50,37 @@ def broadcast_dim(table: pa.Table, key_col: str, val_col: str):
     vals = np.asarray(table.column(val_col).to_pylist(), dtype=object)
     order = np.argsort(keys, kind="stable")
     return ray.put({"keys": keys[order], "values": vals[order]})
+
+
+class BroadcastMembership:
+    """map_batches actor: SEMI / ANTI join against a broadcast key
+    set — keep rows whose ``fk_col`` is (semi) or is not (anti) in
+    the dimension keys.  Same broadcast discipline as BroadcastLookup
+    (one object-store read per actor, vectorized searchsorted per
+    batch, no shuffle)."""
+
+    def __init__(self, dim_ref, fk_col: str, mode: str = "semi"):
+        if mode not in ("semi", "anti"):
+            raise ValueError(f"mode must be 'semi' or 'anti': {mode}")
+        dim = Broadcast.get(dim_ref)            # once per actor
+        self.keys = np.asarray(dim["keys"], dtype=np.int64)
+        self.fk_col = fk_col
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fk = batch.column(self.fk_col).to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(self.keys, fk), 0,
+                      max(len(self.keys) - 1, 0))
+        hit = (self.keys[idx] == fk) if len(self.keys) else \
+            np.zeros(len(fk), dtype=bool)
+        keep = hit if self.mode == "semi" else ~hit
+        return batch.filter(pa.array(keep))
+
+
+def broadcast_keys(table: pa.Table, key_col: str):
+    """Driver-side: key column → sorted broadcast key-set ref (for
+    BroadcastMembership)."""
+    import ray
+    keys = np.unique(np.asarray(table.column(key_col).to_pylist(),
+                                dtype=np.int64))
+    return ray.put({"keys": keys})

@@ -359,3 +359,24 @@ def test_run_extraction_lance_requires_wheel(ray_session, tmp_path):
     with pytest.raises(ImportError):
         run_extraction(inp, str(tmp_path / "lo"), files_per_wave=1,
                        concurrency=2, output_format="lance")
+
+
+def test_broadcast_membership_semi_anti(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.lookup import BroadcastMembership, broadcast_keys
+
+    dim = pa.table({"k": [2, 4, 6]})
+    ref = broadcast_keys(dim, "k")
+    t = pa.table({"event_id": [1, 2, 3, 4], "user_id": [2, 3, 4, 9]})
+    def run(mode):
+        return sorted(r["event_id"] for r in ray.data.from_arrow(t)
+                      .map_batches(BroadcastMembership,
+                                   fn_constructor_kwargs={
+                                       "dim_ref": ref,
+                                       "fk_col": "user_id",
+                                       "mode": mode},
+                                   batch_format="pyarrow",
+                                   concurrency=(1, 2)).take_all())
+    assert run("semi") == [1, 3]
+    assert run("anti") == [2, 4]
