@@ -214,3 +214,80 @@ def cms_token_counts(ds, *, d: int = 4, w: int = 1 << 12,
         merged = merged.merge(CountMinSketch.from_bytes(b["sketch"], d, w))
     est = {p: merged.estimate(p) for p in (probes or [])}
     return merged, est
+
+
+class HistogramSketch:
+    """Fixed-bin histogram sketch for quantile estimates over a
+    KNOWN-range integer metric (doc lengths, token counts): per batch
+    one (bins+2)-counter blob (underflow/overflow guards), elementwise
+    sum merge — same one-blob-per-batch exchange shape as the
+    HLL/count-min sketches.  Quantile error is bounded by the bin
+    width; exact per-group order statistics live in the
+    lang_percentiles query (groupby path)."""
+
+    __slots__ = ("lo", "hi", "bins", "counts")
+
+    def __init__(self, lo: int, hi: int, bins: int = 256,
+                 counts: np.ndarray | None = None):
+        self.lo = lo
+        self.hi = hi
+        self.bins = bins
+        self.counts = (counts if counts is not None
+                       else np.zeros(bins + 2, dtype=np.int64))
+
+    def add_many(self, values: np.ndarray):
+        v = np.asarray(values, dtype=np.float64)
+        idx = np.floor((v - self.lo) / (self.hi - self.lo)
+                       * self.bins).astype(np.int64) + 1
+        idx = np.clip(idx, 0, self.bins + 1)
+        np.add.at(self.counts, idx, 1)
+
+    def merge(self, other: "HistogramSketch") -> "HistogramSketch":
+        return HistogramSketch(self.lo, self.hi, self.bins,
+                               self.counts + other.counts)
+
+    def quantile(self, q: float) -> float:
+        """Estimate: left edge of the bin where the cumulative count
+        crosses q (discrete-percentile flavor)."""
+        total = int(self.counts.sum())
+        if total == 0:
+            return float(self.lo)
+        target = max(1, int(np.ceil(q * total)))
+        cum = np.cumsum(self.counts)
+        b = int(np.searchsorted(cum, target))
+        if b == 0:
+            return float(self.lo)
+        if b >= self.bins + 1:
+            return float(self.hi)
+        return self.lo + (b - 1) * (self.hi - self.lo) / self.bins
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, lo: int, hi: int, bins: int = 256):
+        return cls(lo, hi, bins,
+                   np.frombuffer(raw, dtype=np.int64).copy())
+
+
+def _hist_batch(batch: pa.Table, *, col: str, lo: int, hi: int,
+                bins: int) -> pa.Table:
+    h = HistogramSketch(lo, hi, bins)
+    h.add_many(batch.column(col).to_numpy(zero_copy_only=False))
+    return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+
+def histogram_quantiles(ds, *, col: str, lo: int, hi: int,
+                        bins: int = 256,
+                        quantiles=(0.5, 0.9, 0.99)) -> dict:
+    """Dataset → approximate quantiles of ``col`` via merged
+    histogram blobs (one per batch; driver folds num_blocks blobs)."""
+    import functools
+    blobs = ds.map_batches(
+        functools.partial(_hist_batch, col=col, lo=lo, hi=hi, bins=bins),
+        batch_format="pyarrow").take_all()
+    merged = HistogramSketch(lo, hi, bins)
+    for b in blobs:
+        merged = merged.merge(
+            HistogramSketch.from_bytes(b["sketch"], lo, hi, bins))
+    return {q: merged.quantile(q) for q in quantiles}

@@ -85,3 +85,32 @@ def test_cms_pipeline_vs_exact(ray_session):
     assert est["the"] <= 66
     assert 5 <= est["dogs"] <= 8
     assert est["zebra"] <= 2
+
+
+def test_histogram_sketch_quantiles(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.sketches import (
+        HistogramSketch, histogram_quantiles,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1000, 20_000)
+    # unit: estimate within one bin width of the exact quantile
+    h = HistogramSketch(0, 1000, bins=200)
+    h.add_many(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = np.sort(vals)[int(np.ceil(q * len(vals))) - 1]
+        assert abs(h.quantile(q) - exact) <= 1000 / 200 + 1
+    # merge = concat
+    h1 = HistogramSketch(0, 1000, bins=200)
+    h2 = HistogramSketch(0, 1000, bins=200)
+    h1.add_many(vals[:10000]); h2.add_many(vals[10000:])
+    assert (h1.merge(h2).counts == h.counts).all()
+    # pipeline over a Dataset
+    t = pa.table({"n": vals.astype("int64")})
+    est = histogram_quantiles(ray.data.from_arrow(t), col="n",
+                              lo=0, hi=1000, bins=200)
+    exact50 = np.sort(vals)[int(np.ceil(0.5 * len(vals))) - 1]
+    assert abs(est[0.5] - exact50) <= 6
