@@ -156,3 +156,47 @@ def test_adoption_agency_simple_family_still_reconstructs():
         ("b", [("i", [("#text", "x")])]),
         ("i", [("#text", "y")]),
     ]
+
+
+# ---- network-cut / hostile-input probes (verify-skill checklist)
+
+
+def test_truncated_mid_attribute_recovers():
+    from gumbo_pp_ray.html.parser import parse
+    doc = parse('<div><p>keep this</p><a href="http://x.com/page?q=')
+    body = doc.children[0].children[1]
+    texts = [c for c in _tags(body) if c[0] == "div"]
+    assert texts, _tags(body)
+    assert doc.parse_errors >= 1
+
+
+def test_truncated_mid_comment_and_cdata():
+    from gumbo_pp_ray.html.parser import parse
+    d1 = parse("<p>x</p><!-- never closed")
+    assert d1.parse_errors >= 1
+    d2 = parse("<p>x</p><![CDATA[never closed")
+    assert d2.parse_errors >= 1
+    for d in (d1, d2):
+        body = d.children[0].children[1]
+        assert _tags(body)[0] == ("p", [("#text", "x")])
+
+
+def test_script_with_fake_closers_and_concat_trap():
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+    from gumbo_pp_ray.html.parser import parse
+    page = ("<html><body><script>var a = '</div>' + '</p>' + "
+            "'</scr' + 'ipt>'; if (a < b && c > d) {}</script>"
+            "<p>visible</p></body></html>")
+    doc = parse(page)
+    spans = list(extract_spans(doc, DEFAULT_PROFILE))
+    assert [s[1] for s in spans] == ["visible"]
+
+
+def test_million_char_flat_text_single_doc():
+    from gumbo_pp_ray.html.parser import parse
+    from gumbo_pp_ray.html.text import content_text
+    big = "word " * 200_000
+    doc = parse(f"<html><body><p>{big}</p></body></html>")
+    body = doc.children[0].children[1]
+    p = body.children[0]
+    assert len(content_text(p)) == len(big)
