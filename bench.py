@@ -61,8 +61,9 @@ def _ensure_corpus() -> str:
 
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                           columns=["doc_id", "text", "lang", "source"])
+    from gumbo_pp_ray.sources.io import read_parquet_clean
+    (read_parquet_clean(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text", "lang", "source"])
         .map_batches(amplify_and_wrap, batch_format="pyarrow",
                      batch_size=256)
         .repartition(64)
@@ -110,8 +111,10 @@ def bench_selector() -> dict:
     from gumbo_pp_ray.state.sizing import default_pool_size
 
     t0 = time.perf_counter()
-    n = (ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                               columns=["doc_id", "text", "lang", "source"])
+    from gumbo_pp_ray.sources.io import read_parquet_clean
+    n = (read_parquet_clean(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text", "lang", "source"],
+                            override_num_blocks=max(64, 2 * NUM_CPUS))
          .map_batches(SelectorQuery,
                       fn_constructor_kwargs={
                           "selector": match.tag.P
@@ -123,9 +126,12 @@ def bench_selector() -> dict:
 
 
 def _docs_ds():
-    import ray.data
-    return ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                                 columns=["doc_id", "text"])
+    from gumbo_pp_ray.sources.io import read_parquet_clean
+    # a small-sf file is a single row group = ONE block; split so the
+    # pool actually parallelizes (sf0.01 selector: 19.5s -> per-core)
+    return read_parquet_clean(os.path.join(SF_DIR, "documents.parquet"),
+                              columns=["doc_id", "text"],
+                              override_num_blocks=max(64, 2 * NUM_CPUS))
 
 
 def bench_dedup_minhash() -> dict:
@@ -160,7 +166,8 @@ def bench_ann() -> dict:
                "matrix": np.asarray(t.column("embedding").to_pylist(),
                                     dtype=np.float64)}
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    from gumbo_pp_ray.sources.io import read_parquet_clean
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     n = ann_topk(ds, queries, k=10).count()
     return {"sec": time.perf_counter() - t0, "rows": n}
 

@@ -487,7 +487,41 @@ class _TreeBuilder:
                     self._pop(start)
                 else:
                     break
+        if tag == "form":
+            for e in reversed(self.stack):
+                t = getattr(e, "tag", "")
+                if t in ("td", "th", "caption"):
+                    break
+                if t in _TABLE_SCAFFOLD:
+                    # HTML5 "in table" form rule: parse error; the form
+                    # element is inserted EMPTY and popped immediately,
+                    # so the table's rows stay in the table (a form
+                    # subtree here would swallow the rows — and the
+                    # boilerplate strip-set would then drop them)
+                    self.error(start, "form-in-table")
+                    el = Element(tag, attrs, start, end)
+                    self._append(el)
+                    el.end_tag_start = el.end = end
+                    return el
         if tag in _FORMATTING:
+            if tag == "a":
+                # links never nest: an <a> already in the active
+                # formatting list (since the last marker) is a parse
+                # error and acts as </a> first (HTML5 "in body"
+                # a-start-tag rule)
+                for idx in range(len(self.afe) - 1, -1, -1):
+                    entry = self.afe[idx]
+                    if entry is _AFE_MARKER:
+                        break
+                    if entry[0] == "a":
+                        self.error(start, "nested-a")
+                        prev = entry[2]
+                        del self.afe[idx]
+                        if any(x is prev for x in self.stack):
+                            while self.stack[-1] is not prev:
+                                self._pop(start)
+                            self._pop(start)
+                        break
             if self.afe_dirty:
                 self._reconstruct_afe(start)
             el = Element(tag, attrs, start, end)

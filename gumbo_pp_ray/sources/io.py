@@ -37,6 +37,39 @@ def list_input_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def clean_parquet_schema(path: str,
+                         columns: list[str] | None = None):
+    """Metadata-free (and column-pruned) schema of a parquet file.
+
+    pandas-written parquet carries ``pandas`` key-value metadata that
+    makes ``pa.Schema`` UNHASHABLE; Ray Data's block concat tries
+    ``set(schemas)`` for dedup and logs a per-worker "Failed to hash
+    the schemas" warning on every stage that bundles read blocks.
+    Passing this stripped schema to ``read_parquet(schema=...)``
+    yields metadata-free blocks and a silent pipeline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    full = pq.read_schema(path).remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
+
+
+def read_parquet_clean(paths: str | list[str], *,
+                       columns: list[str] | None = None,
+                       **kw) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` with a metadata-stripped schema (see
+    ``clean_parquet_schema``)."""
+    sample = paths if isinstance(paths, str) else paths[0]
+    if os.path.isdir(sample):
+        files = list_input_files(sample)
+        sample = files[0] if files else None
+    schema = (clean_parquet_schema(sample, columns)
+              if sample else None)
+    return ray.data.read_parquet(paths, columns=columns, schema=schema,
+                                 **kw)
+
+
 def read_interleaved(paths: str | list[str], *,
                      columns: list[str] | None = None,
                      override_num_blocks: int | None = None) -> "ray.data.Dataset":
@@ -48,7 +81,7 @@ def read_interleaved(paths: str | list[str], *,
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
-    return ray.data.read_parquet(paths, columns=columns, **kw)
+    return read_parquet_clean(paths, columns=columns, **kw)
 
 
 def list_output_files(out_dir: str) -> list[str]:

@@ -180,6 +180,11 @@ def lsh_bands(batch: pa.Table, *, bands: int = 16, rows: int = 8,
 #: overflow members are star-linked instead (see _star_overflow).
 HOT_BUCKET_CAP = 256
 
+# Ceiling for the verify="local" / pair_dedup="local" shortcuts: above
+# this, minhash_lsh_pairs refuses them (the distributed plans are the
+# default and the only shapes that survive web scale).
+LOCAL_PATH_MAX_DOCS = 1_000_000
+
 
 def _star_overflow(ids: list) -> tuple[list, list]:
     """Hot-bucket policy: members beyond HOT_BUCKET_CAP are linked to
@@ -526,8 +531,7 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
     import functools
     import ray
     from ..state.sizing import default_pool_size
-    if concurrency is None:
-        concurrency = default_pool_size()
+    n_docs = None
     if band_exchange == "auto":
         n_docs = ds.count()
         band_exchange = ("signatures"
@@ -545,8 +549,23 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
             # tiny corpora pay ~fixed cost per sort partition, huge
             # corpora need enough partitions to bound per-task memory
             num_partitions = max(8, min(65536, -(-n_docs // 10_000)))
+    if concurrency is None:
+        concurrency = default_pool_size()
     if num_partitions is None:
         num_partitions = max(8, default_pool_size())
+    if "local" in (verify, pair_dedup):
+        # the local shortcuts coalesce to one task / pull candidate ids
+        # to the driver — fine for small corpora, an OOM at scale.
+        # Fail fast instead of letting a misconfigured 100 TB run wedge.
+        if n_docs is None:
+            n_docs = ds.count()
+        if n_docs > LOCAL_PATH_MAX_DOCS:
+            raise ValueError(
+                f"verify/pair_dedup='local' are small-N shortcuts "
+                f"(driver-memory-bounded); corpus has {n_docs} docs > "
+                f"ceiling {LOCAL_PATH_MAX_DOCS}. Use the default "
+                f"distributed plans (verify='cogroup', "
+                f"pair_dedup='shuffle').")
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm,

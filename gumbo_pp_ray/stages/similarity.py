@@ -259,24 +259,39 @@ def embedding_neardup_pairs(ds, corpus: dict, *, threshold: float = 0.5,
 
 # ------------------------------------------------------- IVF scale path
 
+def _ivf_sample_mask(ids: list, sample_rate: float) -> list[bool]:
+    """Deterministic md5-threshold membership — partition-invariant,
+    keeps each vec_id with probability ``sample_rate``."""
+    import hashlib
+    thr = format(int(sample_rate * 16 ** 8), "08x")
+    return [hashlib.md5(f"ivf:{i}".encode()).hexdigest()[:8] < thr
+            for i in ids]
+
+
 def train_coarse_centroids(ds, *, dim: int, n_clusters: int = 16,
-                           sample_rate: float = 1.0, iters: int = 10,
-                           seed: int = 42) -> np.ndarray:
+                           sample_rate: float | None = None,
+                           max_train_vectors: int = 262_144,
+                           iters: int = 10, seed: int = 42) -> np.ndarray:
     """Seeded Lloyd k-means on a deterministic hash-sample of the
     corpus — the IVF coarse quantizer (public IVF/Faiss design: train
-    on a bounded sample, assign everything).  The sample (bounded by
-    ``sample_rate``; use ≤ ~1M vectors at real scale) is the only
-    thing pulled to the driver; training is a few numpy matmuls."""
-    import hashlib
+    on a bounded sample, assign everything).
+
+    The training sample is bounded by ABSOLUTE count: when
+    ``sample_rate`` is not given it is derived from ``ds.count()`` so
+    at most ~``max_train_vectors`` rows are pulled to the driver no
+    matter how large the corpus is (a rate-only default of 1.0 would
+    ``take_all()`` a 100 TB corpus).  Training itself is a few numpy
+    matmuls."""
+    if sample_rate is None:
+        n = ds.count()
+        sample_rate = min(1.0, max_train_vectors / max(n, 1))
 
     def keep(batch: pa.Table) -> pa.Table:
         if sample_rate >= 1.0:
             return batch
-        thr = format(int(sample_rate * 16 ** 8), "08x")
         ids = batch.column("vec_id").to_pylist()
-        mask = [hashlib.md5(f"ivf:{i}".encode()).hexdigest()[:8] < thr
-                for i in ids]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        return batch.filter(pa.array(_ivf_sample_mask(ids, sample_rate),
+                                     pa.bool_()))
 
     rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
     m = _normalize(np.asarray([r["embedding"] for r in rows]))

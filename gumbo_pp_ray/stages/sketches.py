@@ -97,25 +97,58 @@ def _batch_token_sketch(batch: pa.Table, *, p: int) -> pa.Table:
     return pa.table({"registers": pa.array([sk.to_bytes()], pa.binary())})
 
 
-def _merge_sketches(batch: pa.Table, *, p: int) -> pa.Table:
+def _tree_merge_blobs(blobs, merge_batch, *, fanin: int = 64):
+    """Tree-reduce a Dataset of one-blob rows down to a SINGLE blob row
+    without ever landing the blob list anywhere central: each round
+    repartitions the surviving blobs into groups of ≤ ``fanin`` and one
+    map task merges each group into one blob.  log_fanin(num_blocks)
+    rounds; every task (and eventually the driver) sees at most
+    ``fanin`` blobs.  A flat driver-side fold would pull one blob per
+    input block — ~130 GB of CMS blobs at 10^6 blocks — and merge them
+    single-threaded; this exchanges kilobytes per task instead.
+
+    ``merge_batch`` must be blob-table → one-row blob-table.  The blob
+    dataset itself is materialized (one tiny row per input block) so
+    the per-round ``count()`` does not re-run the upstream sketch pass.
+    """
+    import math
+    blobs = blobs.materialize()
+    n = blobs.count()
+    while n > fanin:
+        blobs = blobs.repartition(math.ceil(n / fanin)).map_batches(
+            merge_batch, batch_format="pyarrow",
+            batch_size=None).materialize()
+        n = blobs.count()
+    return blobs.repartition(1).map_batches(
+        merge_batch, batch_format="pyarrow", batch_size=None)
+
+
+def _merge_hll_blobs(batch: pa.Table, *, p: int) -> pa.Table:
     sk = HllSketch(p)
     for blob in batch.column("registers").to_pylist():
         sk = sk.merge(HllSketch.from_bytes(p, blob))
+    return pa.table({"registers": pa.array([sk.to_bytes()], pa.binary())})
+
+
+def _hll_estimate_row(batch: pa.Table, *, p: int) -> pa.Table:
+    sk = HllSketch.from_bytes(p, batch.column("registers")[0].as_py())
     return pa.table({
         "n_distinct_tokens_est": pa.array([int(round(sk.estimate()))],
                                           pa.int64())})
 
 
-def hll_distinct_tokens(ds, *, p: int = 12):
+def hll_distinct_tokens(ds, *, p: int = 12, fanin: int = 64):
     """Approximate distinct whitespace-token count over a documents
     Dataset → one row (n_distinct_tokens_est). One blob per batch,
-    merged in a single tiny task."""
+    tree-merged inside the dataset (no O(num_blocks) blob list on any
+    single task or the driver)."""
     import functools
     blobs = ds.map_batches(functools.partial(_batch_token_sketch, p=p),
                            batch_format="pyarrow")
-    return blobs.repartition(1).map_batches(
-        functools.partial(_merge_sketches, p=p),
-        batch_format="pyarrow", batch_size=None)
+    final = _tree_merge_blobs(
+        blobs, functools.partial(_merge_hll_blobs, p=p), fanin=fanin)
+    return final.map_batches(functools.partial(_hll_estimate_row, p=p),
+                             batch_format="pyarrow")
 
 
 def _batch_distinct_tokens(batch: pa.Table) -> pa.Table:
@@ -199,19 +232,28 @@ def _cms_batch(batch: pa.Table, *, d: int, w: int) -> pa.Table:
     return pa.table({"sketch": pa.array([cms.to_bytes()], pa.binary())})
 
 
+def _merge_cms_blobs(batch: pa.Table, *, d: int, w: int) -> pa.Table:
+    merged = CountMinSketch(d, w)
+    for blob in batch.column("sketch").to_pylist():
+        merged = merged.merge(CountMinSketch.from_bytes(blob, d, w))
+    return pa.table({"sketch": pa.array([merged.to_bytes()], pa.binary())})
+
+
 def cms_token_counts(ds, *, d: int = 4, w: int = 1 << 12,
-                     probes: list[str] | None = None):
+                     probes: list[str] | None = None, fanin: int = 64):
     """documents Dataset → merged corpus-wide count-min sketch.
     Returns (sketch, estimates) where estimates maps each probe token
-    to its estimated corpus frequency.  One d*w*8-byte blob per batch
-    crosses the exchange; the merge is a driver-side fold over
-    per-batch blobs (bounded by num_blocks, like the HLL path)."""
+    to its estimated corpus frequency.  One d*w*8-byte blob per batch;
+    blobs tree-merge inside the dataset and the driver receives exactly
+    ONE final blob (a flat fold would pull ~130 GB at 10^6 blocks)."""
     import functools
     blobs = ds.map_batches(functools.partial(_cms_batch, d=d, w=w),
-                           batch_format="pyarrow").take_all()
-    merged = CountMinSketch(d, w)
-    for b in blobs:
-        merged = merged.merge(CountMinSketch.from_bytes(b["sketch"], d, w))
+                           batch_format="pyarrow")
+    rows = _tree_merge_blobs(
+        blobs, functools.partial(_merge_cms_blobs, d=d, w=w),
+        fanin=fanin).take_all()
+    merged = (CountMinSketch.from_bytes(rows[0]["sketch"], d, w)
+              if rows else CountMinSketch(d, w))
     est = {p: merged.estimate(p) for p in (probes or [])}
     return merged, est
 
@@ -229,6 +271,12 @@ class HistogramSketch:
 
     def __init__(self, lo: int, hi: int, bins: int = 256,
                  counts: np.ndarray | None = None):
+        if hi <= lo:
+            # a degenerate range would make add_many divide by zero:
+            # NaN bin indices cast to int64 silently land in the
+            # underflow bin and quantiles come out wrong
+            raise ValueError(
+                f"HistogramSketch needs hi > lo, got [{lo}, {hi}]")
         self.lo = lo
         self.hi = hi
         self.bins = bins
@@ -277,17 +325,29 @@ def _hist_batch(batch: pa.Table, *, col: str, lo: int, hi: int,
     return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
 
+def _merge_hist_blobs(batch: pa.Table, *, lo: int, hi: int,
+                      bins: int) -> pa.Table:
+    merged = HistogramSketch(lo, hi, bins)
+    for blob in batch.column("sketch").to_pylist():
+        merged = merged.merge(
+            HistogramSketch.from_bytes(blob, lo, hi, bins))
+    return pa.table({"sketch": pa.array([merged.to_bytes()], pa.binary())})
+
+
 def histogram_quantiles(ds, *, col: str, lo: int, hi: int,
                         bins: int = 256,
-                        quantiles=(0.5, 0.9, 0.99)) -> dict:
-    """Dataset → approximate quantiles of ``col`` via merged
-    histogram blobs (one per batch; driver folds num_blocks blobs)."""
+                        quantiles=(0.5, 0.9, 0.99),
+                        fanin: int = 64) -> dict:
+    """Dataset → approximate quantiles of ``col`` via histogram blobs
+    (one per batch) tree-merged inside the dataset; the driver receives
+    exactly ONE final blob."""
     import functools
     blobs = ds.map_batches(
         functools.partial(_hist_batch, col=col, lo=lo, hi=hi, bins=bins),
-        batch_format="pyarrow").take_all()
-    merged = HistogramSketch(lo, hi, bins)
-    for b in blobs:
-        merged = merged.merge(
-            HistogramSketch.from_bytes(b["sketch"], lo, hi, bins))
+        batch_format="pyarrow")
+    rows = _tree_merge_blobs(
+        blobs, functools.partial(_merge_hist_blobs, lo=lo, hi=hi,
+                                 bins=bins), fanin=fanin).take_all()
+    merged = (HistogramSketch.from_bytes(rows[0]["sketch"], lo, hi, bins)
+              if rows else HistogramSketch(lo, hi, bins))
     return {q: merged.quantile(q) for q in quantiles}

@@ -143,6 +143,15 @@ def explode_hopping_windows(batch: pa.Table, *, window_sec: int,
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
     us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        # Ray Data can deliver 0-row blocks (post-filter / empty file);
+        # np.repeat of the offsets below would fail to broadcast.
+        return pa.table({
+            key: batch.column(key).combine_chunks()
+            if isinstance(batch.column(key), pa.ChunkedArray)
+            else batch.column(key),
+            "window_id": pa.array([], pa.int64()),
+        })
     w_us = np.int64(window_sec) * 1_000_000
     h_us = np.int64(hop_sec) * 1_000_000
     lo = (us - w_us) // h_us + 1

@@ -7,6 +7,14 @@ from __future__ import annotations
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realcodec: exercises the real media/PDF codec paths; "
+        "auto-skipped when Pillow / pypdf are not installed "
+        "(run `pytest -m realcodec` once wheels appear)")
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray

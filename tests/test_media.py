@@ -160,3 +160,28 @@ def test_decode_media_real_path_bad_payload_sentinel(monkeypatch):
                       "media_type": ["image"], "payload": [b"junk"]}))
     assert out.column("width").to_pylist() == [-1]
     assert out.column("n_frames").to_pylist() == [0]
+
+
+@pytest.mark.realcodec
+def test_decode_media_real_codec_roundtrip():
+    """Real-codec CI hook: runs the ACTUAL Pillow decode path the
+    moment a wheel is available (skipped in codec-less containers —
+    the fake-codec test above proves the same seam)."""
+    import io
+    from gumbo_pp_ray.stages.media import DecodeMedia, probe_image_codec
+
+    Image = probe_image_codec()
+    if Image is None:
+        pytest.skip("Pillow not installed")
+    img = Image.new("RGB", (32, 17), (200, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    dec = DecodeMedia(decoder="real", feat_dim=16)
+    out = dec(pa.table({
+        "doc_id": ["d1"], "media_ref": ["img://x.png"],
+        "media_type": ["image"], "payload": [buf.getvalue()],
+    }))
+    assert out.column("width").to_pylist() == [32]
+    assert out.column("height").to_pylist() == [17]
+    assert out.column("decoder").to_pylist() == ["real"]
+    assert any(v > 0 for v in out.column("features")[0].as_py())

@@ -129,3 +129,25 @@ def test_pdf_parse_real_path_with_fake_lib(monkeypatch):
     texts = out.column("text").to_pylist()
     assert texts == ["intro para", "second para", "last page"]
     assert out.column("page").to_pylist() == [0, 0, 1]
+
+
+@pytest.mark.realcodec
+def test_pdf_parse_real_lib_roundtrip():
+    """Real-lib CI hook: runs the ACTUAL pypdf parse path the moment a
+    wheel is available (skipped in lib-less containers)."""
+    import io
+    from gumbo_pp_ray.stages.pdf import PdfParse, probe_pdf_lib
+
+    pypdf = probe_pdf_lib()
+    if pypdf is None:
+        pytest.skip("pypdf not installed")
+    writer = pypdf.PdfWriter()
+    writer.add_blank_page(width=612, height=792)
+    buf = io.BytesIO()
+    writer.write(buf)
+    p = PdfParse(parser="real")
+    assert p.mode == "real"
+    out = p(pa.table({"doc_id": ["d"], "payload": [buf.getvalue()]}))
+    # a blank page extracts no text blocks; the decode path must still
+    # run without tripping the per-doc quarantine
+    assert out.num_rows == 0

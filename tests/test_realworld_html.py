@@ -200,3 +200,71 @@ def test_million_char_flat_text_single_doc():
     body = doc.children[0].children[1]
     p = body.children[0]
     assert len(content_text(p)) == len(big)
+
+
+# ---- table + mis-nesting conformance audit (round-3, FIXTURES.md §audit)
+# Expected span sequences hand-derived from the HTML5 tree-construction
+# spec (the algorithm gumbo implements); divergences kept on purpose are
+# recorded as contract decisions in FIXTURES.md.
+
+TABLE_MISNEST_CASES = [
+    ("foster text in table", "<table>lost<tr><td>a</td></tr></table>",
+     [("text", "lost"), ("table_cell", "a")]),
+    ("foster text in tr", "<table><tr>x<td>a</td></tr></table>",
+     [("text", "x"), ("table_cell", "a")]),
+    ("implied td close", "<table><tr><td>a<td>b</table>",
+     [("table_cell", "a"), ("table_cell", "b")]),
+    ("implied tr close", "<table><tr><td>a<tr><td>b</table>",
+     [("table_cell", "a"), ("table_cell", "b")]),
+    ("caption before rows",
+     "<table><caption>Cap</caption><tr><td>a</td></tr></table>",
+     [("text", "Cap"), ("table_cell", "a")]),
+    ("tfoot before tbody kept in DOM order",
+     "<table><tfoot><tr><td>f</td></tr></tfoot>"
+     "<tbody><tr><td>b</td></tr></tbody></table>",
+     [("table_cell", "f"), ("table_cell", "b")]),
+    ("table start closes open p",
+     "<p>before<table><tr><td>in</td></tr></table>after",
+     [("text", "before"), ("table_cell", "in"), ("text", "after")]),
+    ("a start implies close of open a",
+     "<a href=1>one<a href=2>two</a>",
+     [("link", "one"), ("link", "two")]),
+    ("li implied closes", "<ul><li>a<li>b</ul>",
+     [("list_item", "a"), ("list_item", "b")]),
+    ("blocks inside cell keep block kinds",   # contract decision
+     "<table><tr><td><p>pa</p><p>pb</p></td></tr></table>",
+     [("text", "pa"), ("text", "pb")]),
+    ("mixed th td implied closes",
+     "<table><tbody><tr><th>h1<td>d1</table>",
+     [("table_cell", "h1"), ("table_cell", "d1")]),
+    ("div start closes open p", "<div><p>one<div>two</div>three",
+     [("text", "one"), ("text", "two"), ("text", "three")]),
+    ("text after row fostered before table",
+     "<table><tr><td>a</td></tr>zz</table>",
+     [("text", "zz"), ("table_cell", "a")]),
+    ("form in table inserted empty, rows survive",
+     "<table><form><tr><td>x</td></tr></form></table>",
+     [("table_cell", "x")]),
+    ("element fostered out of table",
+     "<table><div>d</div><tr><td>a</td></tr></table>",
+     [("text", "d"), ("table_cell", "a")]),
+    ("nested table inside cell",
+     "<table><tr><td>o<table><tr><td>i</td></tr></table></td></tr>"
+     "</table>",
+     [("table_cell", "o"), ("table_cell", "i")]),
+    ("whitespace-only table text dropped",
+     "<table> <tr> <td>a</td> </tr> </table>",
+     [("table_cell", "a")]),
+    ("form in cell stripped as boilerplate",  # contract decision
+     "<table><tr><td><form><input name=q></form>keep</td></tr></table>",
+     [("table_cell", "keep")]),
+]
+
+
+@pytest.mark.parametrize("name,html,expected", TABLE_MISNEST_CASES,
+                         ids=[c[0] for c in TABLE_MISNEST_CASES])
+def test_table_misnest_conformance(name, html, expected):
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE
+    d = parse(html)
+    spans = [(s[0], s[1]) for s in extract_spans(d, DEFAULT_PROFILE)]
+    assert spans == expected, name

@@ -172,3 +172,71 @@ def test_embedding_neardup_lsh_recall(ray_session):
     assert truth == planted
     assert got <= truth                      # no false positives
     assert len(got) / len(truth) >= 0.6      # bucketed recall
+
+
+def test_ivf_training_sample_bounded(ray_session):
+    """The IVF training default must never pull the full corpus to the
+    driver: sample_rate derives from max_train_vectors / count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import (
+        _ivf_sample_mask, train_coarse_centroids,
+    )
+
+    # unit: mask keeps ~rate of ids, deterministically
+    ids = list(range(5000))
+    m1 = _ivf_sample_mask(ids, 0.1)
+    assert m1 == _ivf_sample_mask(ids, 0.1)
+    assert 300 <= sum(m1) <= 700
+    # every kept id at a lower rate is kept at a higher one (nested)
+    m2 = _ivf_sample_mask(ids, 0.3)
+    assert all(b or not a for a, b in zip(m1, m2))
+
+    rng = np.random.RandomState(0)
+    n, dim = 2000, 8
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, r)) for r in rng.randn(n, dim)],
+            pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    cents = train_coarse_centroids(ds, dim=dim, n_clusters=4,
+                                   max_train_vectors=200)
+    assert cents.shape == (4, dim)
+    # the derived rate keeps roughly max_train_vectors rows
+    kept = sum(_ivf_sample_mask(list(range(n)), 200 / n))
+    assert kept < 400
+
+
+def test_ivf_default_does_not_materialize_corpus(ray_session,
+                                                 monkeypatch):
+    """With default args, train_coarse_centroids take_all()s only the
+    bounded hash-sample, never the full dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages import similarity
+
+    rng = np.random.RandomState(1)
+    n, dim = 1000, 4
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, r)) for r in rng.randn(n, dim)],
+            pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t)
+    pulled = {}
+    orig = ray.data.Dataset.take_all
+
+    def spy(self, *a, **k):
+        rows = orig(self, *a, **k)
+        pulled["n"] = len(rows)
+        return rows
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy)
+    similarity.train_coarse_centroids(ds, dim=dim, n_clusters=4,
+                                      max_train_vectors=100)
+    assert pulled["n"] < n / 2

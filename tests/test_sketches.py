@@ -114,3 +114,34 @@ def test_histogram_sketch_quantiles(ray_session):
                               lo=0, hi=1000, bins=200)
     exact50 = np.sort(vals)[int(np.ceil(0.5 * len(vals))) - 1]
     assert abs(est[0.5] - exact50) <= 6
+
+
+def test_histogram_sketch_rejects_degenerate_range():
+    import pytest
+    from gumbo_pp_ray.stages.sketches import HistogramSketch
+
+    with pytest.raises(ValueError):
+        HistogramSketch(5, 5)
+    with pytest.raises(ValueError):
+        HistogramSketch(10, 3)
+
+
+def test_tree_merge_many_blobs(ray_session):
+    """Tree-reduce with a tiny fanin forces multiple merge rounds and
+    must agree with the single-pass sketch."""
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.sketches import (
+        CountMinSketch, cms_token_counts,
+    )
+
+    texts = [f"tok{i % 7} common" for i in range(200)]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    # many blocks -> many blobs; fanin=2 forces ~log2 rounds
+    ds = ray.data.from_arrow(t).repartition(16)
+    _, est = cms_token_counts(ds, probes=["common", "tok0"], fanin=2)
+    exact = CountMinSketch()
+    for s in texts:
+        exact.add_many(s.split())
+    assert est["common"] == exact.estimate("common") == 200
+    assert est["tok0"] >= 29

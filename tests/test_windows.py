@@ -123,3 +123,18 @@ def test_hopping_windows_membership(ray_session):
     # the two user-1 events (0 and 30 min apart) co-occur in exactly
     # the 2 windows covering both
     assert sorted(n for _, n in per_user[1]).count(2) == 2
+
+
+def test_hopping_explode_empty_batch():
+    """Ray Data can deliver 0-row blocks; the explode must not crash
+    (np.repeat of offsets against empty counts used to raise)."""
+    import pyarrow as pa
+    from gumbo_pp_ray.stages.windows import explode_hopping_windows
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+    })
+    out = explode_hopping_windows(empty, window_sec=3600, hop_sec=900)
+    assert out.num_rows == 0
+    assert out.column_names == ["user_id", "window_id"]
