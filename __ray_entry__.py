@@ -800,6 +800,39 @@ def _q_hist_quantiles(sf_dir: str):
     })
 
 
+def _q_url_canon(sf_dir: str):
+    """URL canonicalization: messy URLs synthesized deterministically
+    per doc (lang picks the mess shape: casing, default ports, empty
+    paths, fragments, unsorted/duplicate query params) → canonical
+    form + host.  The oracle constructs the expected canonical strings
+    independently in SQL."""
+    from gumbo_pp_ray.stages.urls import canonicalize_urls
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls = []
+        for i, lg in zip(ids, langs):
+            k = i % 7
+            if lg == "en":
+                urls.append(f"HTTP://WWW.Example{k}.COM:80/path/{i}"
+                            f"?b=2&a=1#frag")
+            elif lg == "fr":
+                urls.append(f"https://Site{k}.FR:443")
+            elif lg == "de":
+                urls.append(f"http://host{k}.de:8080/p/{i}?z=9&a=2&a=1")
+            elif lg == "es":
+                urls.append(f"HTTPS://a{k}.ES/q/{i}#sec")
+            else:
+                urls.append(f"http://M{k}.it/{i}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    ds = _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        mk, batch_format="pyarrow")
+    return canonicalize_urls(ds)
+
+
 def _q_table_scrape(sf_dir: str):
     from gumbo_pp_ray.stages.table_query import TableScrapeQuery
     from gumbo_pp_ray.state.sizing import default_concurrency
@@ -854,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_layout": _q_pdf_layout,            # rows-only (stub decode)
         # new in round 3
         "hist_quantiles": _q_hist_quantiles,
+        "url_canon": _q_url_canon,
         # flagship + end-to-end pipelines
         "extract_flagship": _q_extract_flagship,
         "extract_totals": _q_extract_totals,
@@ -1169,6 +1203,37 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) // 86400000000 AS window_id,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "url_canon": """
+            SELECT doc_id,
+              CASE lang
+                WHEN 'en' THEN 'HTTP://WWW.Example' || (doc_id % 7)
+                  || '.COM:80/path/' || doc_id || '?b=2&a=1#frag'
+                WHEN 'fr' THEN 'https://Site' || (doc_id % 7) || '.FR:443'
+                WHEN 'de' THEN 'http://host' || (doc_id % 7)
+                  || '.de:8080/p/' || doc_id || '?z=9&a=2&a=1'
+                WHEN 'es' THEN 'HTTPS://a' || (doc_id % 7) || '.ES/q/'
+                  || doc_id || '#sec'
+                ELSE 'http://M' || (doc_id % 7) || '.it/' || doc_id
+              END AS url,
+              CASE lang
+                WHEN 'en' THEN 'http://www.example' || (doc_id % 7)
+                  || '.com/path/' || doc_id || '?a=1&b=2'
+                WHEN 'fr' THEN 'https://site' || (doc_id % 7) || '.fr/'
+                WHEN 'de' THEN 'http://host' || (doc_id % 7)
+                  || '.de:8080/p/' || doc_id || '?a=1&a=2&z=9'
+                WHEN 'es' THEN 'https://a' || (doc_id % 7) || '.es/q/'
+                  || doc_id
+                ELSE 'http://m' || (doc_id % 7) || '.it/' || doc_id
+              END AS url_canon,
+              CASE lang
+                WHEN 'en' THEN 'www.example' || (doc_id % 7) || '.com'
+                WHEN 'fr' THEN 'site' || (doc_id % 7) || '.fr'
+                WHEN 'de' THEN 'host' || (doc_id % 7) || '.de'
+                WHEN 'es' THEN 'a' || (doc_id % 7) || '.es'
+                ELSE 'm' || (doc_id % 7) || '.it'
+              END AS host
+            FROM documents
         """,
         "hist_quantiles": """
             SELECT CAST(500 AS BIGINT) AS q_milli,

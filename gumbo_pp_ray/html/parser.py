@@ -524,6 +524,21 @@ class _TreeBuilder:
                         break
             if self.afe_dirty:
                 self._reconstruct_afe(start)
+            # Noah's Ark clause: at most 3 identical (tag, attrs)
+            # entries after the last marker.  Without it, churn input
+            # like "<p><b></p>" * N reopens every prior <b> on each
+            # reconstruction — O(N^2) element creation (measured: 69 s
+            # for N=5000; ~0.1 s with the clause).
+            count, earliest = 0, -1
+            for idx in range(len(self.afe) - 1, -1, -1):
+                entry = self.afe[idx]
+                if entry is _AFE_MARKER:
+                    break
+                if entry[0] == tag and entry[1] == attrs:
+                    count += 1
+                    earliest = idx
+            if count >= 3:
+                del self.afe[earliest]
             el = Element(tag, attrs, start, end)
             self._push(el)
             self.afe.append([tag, attrs, el])

@@ -178,14 +178,20 @@ class CountMinSketch:
     as the HLL sketch, so corpus-wide frequency estimates cost a
     kilobytes-sized exchange regardless of token count.
 
-    Hashes: blake2b-64 split into d row-hashes via seeded salts
-    (process-stable; see HllSketch for why not CRC).
+    Hashes: ONE blake2b call per item with an 8*d-byte digest, split
+    into d independent 64-bit row-hashes (process-stable; see HllSketch
+    for why not CRC).  One wide digest costs the same as one narrow one
+    and replaces the previous d seeded calls per item — hashing is the
+    hot path of the per-batch sketch build.
     """
 
     __slots__ = ("d", "w", "table")
 
     def __init__(self, d: int = 4, w: int = 1 << 12,
                  table: np.ndarray | None = None):
+        if not 1 <= d <= 8:
+            raise ValueError(f"d must be in [1, 8] (8*d-byte blake2b "
+                             f"digest), got {d}")
         self.d = d
         self.w = w
         self.table = (table if table is not None
@@ -193,14 +199,13 @@ class CountMinSketch:
 
     def _cols(self, items: list[str]) -> np.ndarray:
         from hashlib import blake2b
-        out = np.empty((self.d, len(items)), dtype=np.int64)
-        for r in range(self.d):
-            salt = bytes([r])
-            for j, it in enumerate(items):
-                h = blake2b(it.encode("utf-8"), digest_size=8,
-                            salt=salt).digest()
-                out[r, j] = int.from_bytes(h, "little") % self.w
-        return out
+        d, size = self.d, 8 * self.d
+        raw = bytearray(size * len(items))
+        for j, it in enumerate(items):
+            raw[j * size:(j + 1) * size] = blake2b(
+                it.encode("utf-8"), digest_size=size).digest()
+        h = np.frombuffer(bytes(raw), dtype=np.uint64).reshape(-1, d)
+        return (h.T % np.uint64(self.w)).astype(np.int64)
 
     def add_many(self, items: list[str]):
         if not items:

@@ -268,3 +268,32 @@ def test_table_misnest_conformance(name, html, expected):
     d = parse(html)
     spans = [(s[0], s[1]) for s in extract_spans(d, DEFAULT_PROFILE)]
     assert spans == expected, name
+
+
+def test_noahs_ark_bounds_formatting_reconstruction():
+    """At most 3 identical formatting entries survive in the active
+    list (HTML5 Noah's Ark clause): churn input must parse in linear
+    time and reconstruction depth must cap at 3."""
+    import time
+    from gumbo_pp_ray.html.parser import parse
+
+    doc = parse("<p>" + "<b>" * 10 + "x</p><p>y</p>")
+    body = doc.children[0].children[1]
+    node, depth = body.children[1], 0
+    while node.children and getattr(node.children[0], "tag", "") == "b":
+        node = node.children[0]
+        depth += 1
+    assert depth == 3
+
+    # distinct attrs are distinct ark entries: no eviction below 4
+    doc = parse('<p><b class="a"><b class="b">x</p><p>y</p>')
+    body = doc.children[0].children[1]
+    node, depth = body.children[1], 0
+    while node.children and getattr(node.children[0], "tag", "") == "b":
+        node = node.children[0]
+        depth += 1
+    assert depth == 2
+
+    t0 = time.perf_counter()
+    parse("<p><b></p>" * 3000 + "x")
+    assert time.perf_counter() - t0 < 5.0   # was ~25s (O(N^2)) before
