@@ -719,6 +719,16 @@ def _q_decontam(sf_dir: str):
                          n=3)
 
 
+def _q_decontam_shuffle(sf_dir: str):
+    """Decontamination via the no-broadcast shuffle-join scale path
+    (bench side = docs 0-4 as a Dataset); output identical to
+    `decontam`, so the same oracle pins both plans."""
+    from gumbo_pp_ray.stages.corpus_stats import decontaminate_shuffle
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    bench = docs.filter(expr="doc_id < 5")
+    return decontaminate_shuffle(docs, bench, n=3)
+
+
 def _q_sample_by_lang(sf_dir: str):
     """Stratified deterministic sampling: 20 docs per language by
     md5-rank (partition-invariant, no RNG)."""
@@ -888,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 3
         "hist_quantiles": _q_hist_quantiles,
         "url_canon": _q_url_canon,
+        "decontam_shuffle": _q_decontam_shuffle,
         # flagship + end-to-end pipelines
         "extract_flagship": _q_extract_flagship,
         "extract_totals": _q_extract_totals,
@@ -1346,6 +1357,24 @@ def oracle_sql() -> dict[str, str]:
             FROM tf, df, n WHERE tf.tok = df.tok GROUP BY tf.doc_id
         """,
         "decontam": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+            grams AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+            hits AS (SELECT g.doc_id, count(DISTINCT g.g) AS n
+                     FROM grams g JOIN bench b ON g.g = b.g
+                     GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+                   CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "decontam_shuffle": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
               FROM documents WHERE trim(text) <> ''),

@@ -165,3 +165,118 @@ def decontaminate(ds, bench_ref, *, n: int = 3, concurrency=None):
         ContaminationCheck,
         fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+# ------------------------------------------- decontamination at scale
+
+def _decon_gram_rows(batch: pa.Table, *, n: int, num_buckets: int,
+                     is_bench: bool) -> pa.Table:
+    """(doc_id?, text) → one row per DISTINCT word n-gram per doc:
+    (bucket=hash(gram), doc_id, gram); bench-side rows carry
+    doc_id=-1."""
+    texts = batch.column("text").to_pylist()
+    ids = ([-1] * len(texts) if is_bench
+           else batch.column("doc_id").to_pylist())
+    out_id, out_g = [], []
+    for i, t in zip(ids, texts):
+        toks = t.split()
+        grams = {" ".join(toks[j:j + n])
+                 for j in range(len(toks) - n + 1)}
+        out_id.extend([i] * len(grams))
+        out_g.extend(grams)
+    return pa.table({
+        "bucket": _bucket_str(out_g, num_buckets),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "gram": pa.array(out_g, pa.string()),
+    })
+
+
+def _gram_hits_group(group: pa.Table, *, num_buckets: int) -> pa.Table:
+    """One gram-hash bucket: membership of doc grams in the bucket's
+    bench grams (every occurrence of a gram lands here, both sides),
+    partial hit counts per doc."""
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    bench_mask = ids == -1
+    if not bench_mask.any() or bench_mask.all():
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "hits": pa.array([], pa.int64())})
+    grams = group.column("gram")
+    member = pa.compute.is_in(
+        grams, value_set=grams.filter(pa.array(bench_mask))) \
+        .to_numpy(zero_copy_only=False)
+    doc_hit_ids = ids[~bench_mask & member]
+    uniq, counts = np.unique(doc_hit_ids, return_counts=True)
+    return pa.table({
+        "bucket": pa.array(
+            ((uniq.astype(np.uint64) * _MIX)
+             % np.uint64(num_buckets)).astype(np.int64)),
+        "doc_id": pa.array(uniq, pa.int64()),
+        "hits": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def _doc_anchor_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bucket": pa.array(
+            ((ids.astype(np.uint64) * _MIX)
+             % np.uint64(num_buckets)).astype(np.int64)),
+        "doc_id": pa.array(ids, pa.int64()),
+        "hits": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+    })
+
+
+def _sum_hits_group(group: pa.Table) -> pa.Table:
+    """One doc-hash bucket: total hits per anchored doc (anchor rows
+    carry hits=-1 and guarantee every doc appears with 0)."""
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    hits = group.column("hits").to_numpy(zero_copy_only=False)
+    anchored = np.unique(ids[hits < 0])
+    pos = hits > 0
+    totals = {}
+    for i, h in zip(ids[pos], hits[pos]):
+        totals[i] = totals.get(i, 0) + int(h)
+    n_arr = np.array([totals.get(i, 0) for i in anchored],
+                     dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(anchored, pa.int64()),
+        "n_contaminated": pa.array(n_arr, pa.int64()),
+        "contaminated": pa.array((n_arr > 0).astype(np.int64),
+                                 pa.int64()),
+    })
+
+
+def decontaminate_shuffle(ds, bench_ds, *, n: int = 3,
+                          num_partitions: int = 16):
+    """Shuffle-join decontamination — the scale path for when the
+    BENCHMARK side is itself too big to broadcast (the broadcast
+    variant ships the whole n-gram set to every actor; fine for normal
+    benchmark suites, not for, say, decontaminating against another
+    corpus).  No broadcast, no driver state: two bucketed co-groups —
+
+    1. gram-hash co-group: distinct doc n-grams union bench n-grams,
+       membership tested where both sides of a gram necessarily meet;
+    2. doc-hash co-group: partial hit counts summed per doc, anchor
+       rows guaranteeing every input doc appears (hits 0 included).
+
+    Output schema and values identical to ``decontaminate``.
+    """
+    grams = ds.map_batches(
+        functools.partial(_decon_gram_rows, n=n,
+                          num_buckets=num_partitions, is_bench=False),
+        batch_format="pyarrow")
+    bench_grams = bench_ds.map_batches(
+        functools.partial(_decon_gram_rows, n=n,
+                          num_buckets=num_partitions, is_bench=True),
+        batch_format="pyarrow")
+    partial_hits = grams.union(bench_grams).groupby(
+        "bucket", num_partitions=num_partitions).map_groups(
+        functools.partial(_gram_hits_group, num_buckets=num_partitions),
+        batch_format="pyarrow")
+    anchors = ds.select_columns(["doc_id"]).map_batches(
+        functools.partial(_doc_anchor_rows, num_buckets=num_partitions),
+        batch_format="pyarrow")
+    return anchors.union(partial_hits).groupby(
+        "bucket", num_partitions=num_partitions).map_groups(
+        _sum_hits_group, batch_format="pyarrow")

@@ -110,3 +110,34 @@ def test_prep_training_corpus_composition(ray_session):
     got = {r["doc_id"]: r["n_tokens"] for r in out}
     assert set(got) == {0, 4}
     assert got[0] == len(good.split())
+
+
+def test_decontaminate_shuffle_matches_broadcast(ray_session):
+    """The no-broadcast scale path must produce exactly the broadcast
+    path's output (schema and values), including zero-hit docs."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from gumbo_pp_ray.stages.corpus_stats import (
+        decontaminate, decontaminate_shuffle, ngram_set,
+    )
+
+    texts = [f"alpha beta gamma delta {i} epsilon zeta" for i in range(30)]
+    texts += ["alpha beta gamma shared phrase here"] * 3
+    texts += ["totally different words nothing shared"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    bench_texts = ["alpha beta gamma shared phrase here",
+                   "epsilon zeta nothing"]
+    ds = ray.data.from_arrow(t).repartition(4)
+    bench_ds = ray.data.from_arrow(
+        pa.table({"text": bench_texts})).repartition(2)
+
+    ref = ray.put(ngram_set(bench_texts, n=3))
+    want = decontaminate(ds, ref, n=3, concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = decontaminate_shuffle(ds, bench_ds, n=3, num_partitions=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    assert got["contaminated"].sum() >= 3     # planted overlaps found
+    assert (got["n_contaminated"] == 0).any()  # zero-hit docs present
