@@ -816,6 +816,15 @@ def simhash_neardup_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
     from ..state.sizing import default_pool_size
     if concurrency is None:
         concurrency = default_pool_size()
+    if pair_dedup == "local":
+        # same fail-fast ceiling as minhash_lsh_pairs: the one-block
+        # coalesce is a small-N shortcut, not a scale plan
+        n_docs = ds.count()
+        if n_docs > LOCAL_PATH_MAX_DOCS:
+            raise ValueError(
+                f"pair_dedup='local' is a small-N shortcut; corpus has "
+                f"{n_docs} docs > ceiling {LOCAL_PATH_MAX_DOCS}. Use "
+                f"pair_dedup='shuffle'.")
     sh = ds.map_batches(SimHash, batch_format="pyarrow",
                         concurrency=concurrency)
     bandrows = sh.map_batches(

@@ -297,3 +297,28 @@ def test_noahs_ark_bounds_formatting_reconstruction():
     t0 = time.perf_counter()
     parse("<p><b></p>" * 3000 + "x")
     assert time.perf_counter() - t0 < 5.0   # was ~25s (O(N^2)) before
+
+
+def test_deep_misnesting_preserves_text_order():
+    """Formatting-above-formatting and multi-block misnesting: the
+    single-furthest-block adoption agency may shape the tree slightly
+    differently from the spec's multi-iteration loop on exotic inputs,
+    but the OBSERVABLE contract — span text sequence in document
+    order — must hold (and does match the spec tree for the common
+    family, see test_adoption_agency_*)."""
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+    from gumbo_pp_ray.html.parser import parse
+
+    for html, want in [
+        ("<i><b><p>x</b>y</i>z", "xyz"),
+        ("<b><p>1<div>2</b>3", "123"),
+        ("<p><i>1<b>2</p><p>3</b>4</i>5</p>", "12345"),
+        ("<a href=u><div>card</div></a>after", "cardafter"),
+    ]:
+        doc = parse(html)
+        got = "".join(s[1] for s in extract_spans(doc, DEFAULT_PROFILE))
+        assert got == want, (html, got)
+    # the block-link (valid HTML5) keeps its link identity
+    doc = parse("<a href=u><div>card</div></a>after")
+    kinds = [s[0] for s in extract_spans(doc, DEFAULT_PROFILE)]
+    assert kinds == ["link", "text"]
