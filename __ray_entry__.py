@@ -455,10 +455,13 @@ def _q_spans_by_lang(sf_dir: str):
 
 
 def _events(sf_dir: str, columns=("user_id", "ts")):
+    # events queries are SHUFFLE-bound (windows/as-of sort groupbys pay
+    # a fixed cost per partition, and partition count tracks block
+    # count) — keep blocks few, unlike the parse-heavy _docs reads
     from gumbo_pp_ray.sources.io import read_parquet_clean
     return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                               columns=list(columns),
-                              override_num_blocks=32)
+                              override_num_blocks=4)
 
 
 def _q_tumbling_counts(sf_dir: str):

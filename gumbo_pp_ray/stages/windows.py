@@ -66,46 +66,57 @@ def _add_phase_bucket(batch: pa.Table, *, phase_sec: int,
     return batch.append_column("phase_bucket", bucket)
 
 
-def _segments_group(group: pd.DataFrame, *, gap_sec: int, key: str,
-                    ts_col: str) -> pd.DataFrame:
-    """Phase 1: one (key, phase_bucket) group → maximal event runs
-    (gap ≤ gap_sec between consecutive events) as segment rows."""
-    g = group.sort_values(ts_col, kind="stable")
+def _segments_bucket(df: pd.DataFrame, *, gap_sec: int, key: str,
+                     ts_col: str) -> pd.DataFrame:
+    """Phase 1, one HASH BUCKET of (key, phase_bucket) groups →
+    maximal event runs (gap ≤ gap_sec) as segment rows.  The whole
+    bucket is processed in one vectorized pass (sort + shift-compare +
+    groupby-agg) — one UDF call per bucket, not per group: Ray's
+    per-group map_groups dispatch costs ~1-2 ms/group, which dominated
+    wall time at ~10k groups."""
+    if not len(df):
+        return pd.DataFrame({key: [], "start_ts": [], "end_ts": [],
+                             "n_events": []})
+    g = df.sort_values([key, "phase_bucket", ts_col], kind="stable")
     delta = g[ts_col].diff().dt.total_seconds()
-    new_seg = (delta > gap_sec) | delta.isna()
-    seg_id = new_seg.cumsum()
-    agg = g.groupby(seg_id)[ts_col].agg(["min", "max", "size"])
-    out = pd.DataFrame({
-        key: g[key].iloc[0],
-        "start_ts": agg["min"],
-        "end_ts": agg["max"],
-        "n_events": agg["size"].astype(np.int64),
-    })
-    return out.reset_index(drop=True)
+    boundary = ((g[key] != g[key].shift())
+                | (g["phase_bucket"] != g["phase_bucket"].shift()))
+    seg_id = (boundary | (delta > gap_sec)).cumsum()
+    agg = g.groupby(seg_id, sort=True).agg(
+        _k=(key, "first"), start_ts=(ts_col, "min"),
+        end_ts=(ts_col, "max"), n_events=(ts_col, "size"))
+    out = agg.rename(columns={"_k": key}).reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
 
 
-def _merge_segments_group(group: pd.DataFrame, *, gap_sec: int,
-                          key: str) -> pd.DataFrame:
-    """Phase 2: one key's segments (time-ordered, non-overlapping
-    because phase buckets partition time) → final sessions.  A
-    segment starts a new session iff the gap to the previous
-    segment's end exceeds gap_sec — the same inter-event gap the
-    single-pass rule would test, because segment boundaries within a
-    bucket already encode gaps > gap_sec."""
-    g = group.sort_values(["start_ts", "end_ts"], kind="stable")
+def _merge_segments_bucket(df: pd.DataFrame, *, gap_sec: int,
+                           key: str) -> pd.DataFrame:
+    """Phase 2, one hash bucket of keys: each key's segments
+    (time-ordered, non-overlapping because phase buckets partition
+    time) merge into final sessions — a segment starts a new session
+    iff the gap to the previous segment's end exceeds gap_sec, the
+    same inter-event gap the single-pass rule tests.  Vectorized over
+    the whole bucket."""
+    if not len(df):
+        return pd.DataFrame({key: [], "session_id": [], "n_events": []})
+    g = df.sort_values([key, "start_ts", "end_ts"], kind="stable")
+    new_user = g[key] != g[key].shift()
     gap = (g["start_ts"] - g["end_ts"].shift()).dt.total_seconds()
-    new_session = (gap > gap_sec) | gap.isna()
-    sid = new_session.cumsum().astype(np.int64) - 1
+    new_session = new_user | (gap > gap_sec) | gap.isna()
+    sid_global = new_session.cumsum()
+    first_of_user = sid_global.groupby(g[key].to_numpy()).transform("min")
+    sid = (sid_global - first_of_user).astype(np.int64)
     out = (g.assign(session_id=sid)
-            .groupby("session_id", sort=True)["n_events"].sum()
+            .groupby([key, "session_id"], sort=True)["n_events"].sum()
             .reset_index())
-    out.insert(0, key, g[key].iloc[0])
     out["n_events"] = out["n_events"].astype(np.int64)
     return out
 
 
 def session_windows(ds, *, key: str = "user_id", gap_sec: int = 1800,
-                    ts_col: str = "ts", phase_sec: int | None = None):
+                    ts_col: str = "ts", phase_sec: int | None = None,
+                    num_partitions: int | None = None):
     """Inactivity-gap sessionization → (user_id, session_id,
     n_events); session_id is the 0-based per-user session index in ts
     order.
@@ -119,16 +130,39 @@ def session_windows(ds, *, key: str = "user_id", gap_sec: int = 1800,
     import functools
     if phase_sec is None:
         phase_sec = max(gap_sec * 16, 3600)
+    if num_partitions is None:
+        # sort-based map_groups pays a fixed cost per partition; derive
+        # the count from data size (same policy as dedup.py)
+        num_partitions = max(8, min(65536, -(-ds.count() // 100_000)))
+
+    def add_cg_bucket(batch: pa.Table) -> pa.Table:
+        # co-group key = hash(key, phase_bucket): a hot user's history
+        # still splits across tasks by time bucket
+        df2 = batch.select([key, "phase_bucket"]).to_pandas()
+        h = pd.util.hash_pandas_object(df2, index=False).to_numpy()
+        return batch.append_column(
+            "cg_bucket", pa.array((h % num_partitions).astype(np.int64)))
+
+    def add_sg_bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.select([key]).to_pandas()[key], index=False).to_numpy()
+        return batch.append_column(
+            "sg_bucket", pa.array((h % num_partitions).astype(np.int64)))
+
     ds = ds.map_batches(
         functools.partial(_add_phase_bucket, phase_sec=phase_sec,
                           ts_col=ts_col),
-        batch_format="pyarrow")
-    segments = ds.groupby([key, "phase_bucket"]).map_groups(
-        functools.partial(_segments_group, gap_sec=gap_sec, key=key,
+        batch_format="pyarrow").map_batches(
+        add_cg_bucket, batch_format="pyarrow")
+    segments = ds.groupby(
+        "cg_bucket", num_partitions=num_partitions).map_groups(
+        functools.partial(_segments_bucket, gap_sec=gap_sec, key=key,
                           ts_col=ts_col),
         batch_format="pandas")
-    return segments.groupby(key).map_groups(
-        functools.partial(_merge_segments_group, gap_sec=gap_sec,
+    segments = segments.map_batches(add_sg_bucket, batch_format="pyarrow")
+    return segments.groupby(
+        "sg_bucket", num_partitions=num_partitions).map_groups(
+        functools.partial(_merge_segments_bucket, gap_sec=gap_sec,
                           key=key),
         batch_format="pandas")
 

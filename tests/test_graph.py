@@ -93,3 +93,35 @@ def test_star_edges_pipeline(ray_session):
     out = star_edges(ray.data.from_arrow(t), "grp").take_all()
     got = sorted((r["doc_a"], r["doc_b"]) for r in out)
     assert got == [(10, 11), (10, 12), (20, 21)]
+
+
+def test_cc_broadcast_plan_matches_cogroup(ray_session):
+    """The broadcast-label fast plan must produce exactly the co-group
+    scale plan's clusters on a multi-hop random graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.graph import connected_components
+
+    rng = np.random.RandomState(7)
+    n = 400
+    # chain-y random graph: guarantees multi-hop label propagation
+    a = rng.randint(0, n, 300)
+    b = np.clip(a + rng.randint(1, 8, 300), 0, n - 1)
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64())})).repartition(4)
+    nodes = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64())})).repartition(4)
+
+    fast = connected_components(pairs, nodes, plan="broadcast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    slow = connected_components(pairs, nodes, plan="cogroup",
+                                num_partitions=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow)
+    # sanity: a singleton keeps its own id
+    iso = set(range(n)) - set(a) - set(b)
+    if iso:
+        v = iso.pop()
+        assert fast.loc[fast.doc_id == v, "cluster_id"].item() == v
