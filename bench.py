@@ -221,6 +221,27 @@ def _vs_prev(line: dict) -> dict | None:
     return out
 
 
+def cpu_canary() -> float:
+    """Single-core parse+extract docs/s on a fixed synthetic page — a
+    machine-speed control embedded in the bench record, so cross-round
+    wall-clock comparisons are interpretable when the host VM's
+    effective speed drifts (round 3 measured the same code at ~0.3x of
+    the round-2 session's single-core speed)."""
+    from gumbo_pp_ray.html import parse
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+    body = "".join(f"<p>chunk {i} of words here making text</p>"
+                   for i in range(80))
+    page = ("<html><head><title>t</title><style>x</style></head>"
+            f"<body><nav>n</nav>{body}<footer>f</footer></body></html>")
+    for _ in range(20):                     # warm-up
+        list(extract_spans(parse(page), DEFAULT_PROFILE))
+    n = 150
+    t0 = time.perf_counter()
+    for _ in range(n):
+        list(extract_spans(parse(page), DEFAULT_PROFILE))
+    return round(n / (time.perf_counter() - t0), 1)
+
+
 def run_all() -> dict:
     import ray
 
@@ -244,6 +265,7 @@ def run_all() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": headline["docs"],
         "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "cpu_canary_docs_per_sec": cpu_canary(),
     }
     vs = _vs_prev(line)
     if vs is not None:
