@@ -88,8 +88,24 @@ def extract_dataset(
         concurrency=concurrency,
     )
     if shuffle:
-        ds = ds.groupby("doc_id").map_groups(
-            reassemble_chunks, batch_format="pyarrow")
+        # hash-bucketed reassembly: one vectorized task per bucket
+        # instead of one map_groups dispatch per doc (at 100k docs the
+        # per-group dispatch alone costs seconds); ordering per doc is
+        # (chunk_id, in-chunk offset) via the in-task sort, never block
+        # order
+        import functools
+        from ..stages.reassemble import add_reassembly_bucket, \
+            reassemble_bucket
+        pool = (concurrency if isinstance(concurrency, int)
+                else concurrency[1] if isinstance(concurrency, tuple)
+                else default_pool_size())
+        num_buckets = max(16, 2 * pool)
+        ds = ds.map_batches(
+            functools.partial(add_reassembly_bucket,
+                              num_buckets=num_buckets),
+            batch_format="pyarrow")
+        ds = ds.groupby("rb", num_partitions=num_buckets).map_groups(
+            reassemble_bucket, batch_format="pyarrow")
     else:
         ds = ds.drop_columns(["chunk_id", "n_chunks"])
     return ds
