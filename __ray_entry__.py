@@ -732,6 +732,25 @@ def _q_decontam_shuffle(sf_dir: str):
     return decontaminate_shuffle(docs, bench, n=3)
 
 
+def _q_minhash_pairs_incr(sf_dir: str):
+    """Incremental near-dup: docs >= 250 deduped against a persisted
+    signature index of docs < 250 (the 100 TB shape: the corpus's
+    signatures are kept, only the new shard is hashed). Rows-only —
+    MinHash estimates are probabilistic like minhash_pairs."""
+    import shutil
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+    base = _docs(sf_dir, ("doc_id", "text")).filter(expr="doc_id < 250")
+    new = _docs(sf_dir, ("doc_id", "text")).filter(expr="doc_id >= 250")
+    idx = os.path.join("/tmp/gumbo_q_sigidx",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(idx, ignore_errors=True)
+    write_signature_index(base, idx, concurrency=_qconc())
+    return minhash_lsh_pairs_incremental(new, idx, threshold=0.5,
+                                         concurrency=_qconc())
+
+
 def _q_sample_by_lang(sf_dir: str):
     """Stratified deterministic sampling: 20 docs per language by
     md5-rank (partition-invariant, no RNG)."""
@@ -902,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_quantiles": _q_hist_quantiles,
         "url_canon": _q_url_canon,
         "decontam_shuffle": _q_decontam_shuffle,
+        "minhash_pairs_incr": _q_minhash_pairs_incr,  # rows-only
         # flagship + end-to-end pipelines
         "extract_flagship": _q_extract_flagship,
         "extract_totals": _q_extract_totals,

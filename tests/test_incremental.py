@@ -1,0 +1,72 @@
+"""Incremental near-dup against a persisted signature index
+(stages/incremental.py)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _mk_corpus(texts, start_id=0):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(start_id, start_id + len(texts)),
+                           pa.int64()),
+        "text": texts,
+    })).repartition(2)
+
+
+BASE = [f"base document number {i} with plenty of distinct words "
+        f"for shingles to chew on here {i * 7}" for i in range(40)]
+
+
+def test_incremental_pairs_new_vs_index(ray_session, tmp_path):
+    import ray
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+
+    idx = str(tmp_path / "sigidx")
+    write_signature_index(_mk_corpus(BASE), idx, concurrency=2)
+
+    # new shard: dup of base doc 3, dup of base doc 7, two mutual
+    # new-new dups, and fresh unique docs
+    new_texts = [BASE[3], BASE[7],
+                 "entirely new duplicated payload shared by two docs x",
+                 "entirely new duplicated payload shared by two docs x",
+                 "totally unique new content nothing like anything"]
+    pairs = minhash_lsh_pairs_incremental(
+        _mk_corpus(new_texts, start_id=100), idx,
+        threshold=0.8, concurrency=2, num_partitions=4).to_pandas()
+    got = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(
+        index=False)}
+    assert (3, 100) in got          # new-old
+    assert (7, 101) in got          # new-old
+    assert (102, 103) in got        # new-new, emitted once
+    # NO old-old pairs ever (index side was already deduped)
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # exact dups score 1000
+    assert (pairs["jaccard_est_milli"] == 1000).all()
+
+
+def test_incremental_param_mismatch_raises(ray_session, tmp_path):
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+
+    idx = str(tmp_path / "sigidx2")
+    write_signature_index(_mk_corpus(BASE[:5]), idx, num_perm=32,
+                          concurrency=2)
+    with pytest.raises(ValueError, match="num_perm"):
+        minhash_lsh_pairs_incremental(
+            _mk_corpus(["x"], start_id=50), idx, bands=16, rows=8,
+            concurrency=2)
+
+
+def test_index_params_roundtrip(ray_session, tmp_path):
+    from gumbo_pp_ray.stages.incremental import (
+        read_index_params, write_signature_index,
+    )
+    idx = str(tmp_path / "sigidx3")
+    p = write_signature_index(_mk_corpus(BASE[:3]), idx, num_perm=64,
+                              shingle_words=2, seed=7, concurrency=2)
+    assert read_index_params(idx) == p == {
+        "num_perm": 64, "shingle_words": 2, "seed": 7}
