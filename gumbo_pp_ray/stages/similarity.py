@@ -50,17 +50,13 @@ class BruteForceTopK:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         sims = self.q @ vecs.T                  # (Q, B)
         k = min(self.k, sims.shape[1])
-        out_q, out_n, out_s = [], [], []
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        for qi in range(sims.shape[0]):
-            cand = top[qi]
-            out_q.extend([int(self.query_ids[qi])] * len(cand))
-            out_n.extend(int(ids[c]) for c in cand)
-            out_s.extend(float(sims[qi, c]) for c in cand)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # (Q, k)
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(np.repeat(self.query_ids, k), pa.int64()),
+            "neighbor_id": pa.array(ids[top.ravel()], pa.int64()),
+            "cosine": pa.array(
+                np.take_along_axis(sims, top, axis=1).ravel(),
+                pa.float64()),
         })
 
 
