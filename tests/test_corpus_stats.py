@@ -141,3 +141,19 @@ def test_decontaminate_shuffle_matches_broadcast(ray_session):
     assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
     assert got["contaminated"].sum() >= 3     # planted overlaps found
     assert (got["n_contaminated"] == 0).any()  # zero-hit docs present
+
+
+def test_decontaminate_shuffle_empty_bench_side(ray_session):
+    """No benchmark n-grams at all -> every doc present with 0 hits."""
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.corpus_stats import decontaminate_shuffle
+
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": [f"doc {i} words here now" for i in range(10)]})
+    bench = ray.data.from_arrow(pa.table({"text": ["xy"]}))  # < n tokens
+    out = decontaminate_shuffle(ray.data.from_arrow(t), bench, n=3,
+                                num_partitions=4).to_pandas()
+    assert len(out) == 10
+    assert (out["n_contaminated"] == 0).all()
+    assert (out["contaminated"] == 0).all()

@@ -51,3 +51,20 @@ def test_canonicalize_urls_dataset(ray_session):
     assert (out["url_canon"].str.startswith("http://h")).all()
     assert set(out["host"]) == {"h0.com", "h1.com", "h2.com"}
     assert out["url_canon"].str.endswith("?a=2&b=1").all()
+
+
+def test_read_parquet_clean_directory(ray_session, tmp_path):
+    """read_parquet_clean resolves the schema from a DIRECTORY of
+    pandas-written files (metadata stripped, columns pruned)."""
+    import pandas as pd
+    import pyarrow as pa
+    from gumbo_pp_ray.sources.io import read_parquet_clean
+
+    d = tmp_path / "pq"
+    d.mkdir()
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_parquet(
+        d / "part0.parquet")
+    pd.DataFrame({"a": [3], "b": ["z"]}).to_parquet(d / "part1.parquet")
+    ds = read_parquet_clean(str(d), columns=["a"])
+    assert ds.schema().names == ["a"]
+    assert sorted(r["a"] for r in ds.take_all()) == [1, 2, 3]
