@@ -832,6 +832,16 @@ def _q_hist_quantiles(sf_dir: str):
     })
 
 
+def _q_token_shards(sf_dir: str):
+    """Training-shard assembly: contiguous packing of docs (id order)
+    into ~10k-char shards via the distributed prefix scan —
+    shard_id = exclusive_prefix_sum(n_chars) // budget, exact vs the
+    SQL window oracle."""
+    from gumbo_pp_ray.stages.packing import assign_contiguous_shards
+    return assign_contiguous_shards(
+        _docs(sf_dir, ("doc_id", "n_chars")), budget=10_000)
+
+
 def _q_url_canon(sf_dir: str):
     """URL canonicalization: messy URLs synthesized deterministically
     per doc (lang picks the mess shape: casing, default ports, empty
@@ -922,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": _q_url_canon,
         "decontam_shuffle": _q_decontam_shuffle,
         "minhash_pairs_incr": _q_minhash_pairs_incr,  # rows-only
+        "token_shards": _q_token_shards,
         # flagship + end-to-end pipelines
         "extract_flagship": _q_extract_flagship,
         "extract_totals": _q_extract_totals,
@@ -1267,6 +1278,15 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'es' THEN 'a' || (doc_id % 7) || '.es'
                 ELSE 'm' || (doc_id % 7) || '.it'
               END AS host
+            FROM documents
+        """,
+        "token_shards": """
+            SELECT doc_id, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) // 10000
+                        AS BIGINT) AS shard_id
             FROM documents
         """,
         "hist_quantiles": """
