@@ -374,6 +374,27 @@ def _q_emb_neardup_lsh(sf_dir: str):
     })
 
 
+def _q_emb_neardup_clusters(sf_dir: str):
+    """Near-dup PAIRS resolved into duplicate CLUSTERS: the LSH
+    embedding pairs feed distributed connected components — the
+    composition a real dedup decision pipeline runs (pairs alone are
+    not decisions).  Rows-only (bucket recall is approximate)."""
+    from gumbo_pp_ray.stages.graph import connected_components
+    from gumbo_pp_ray.stages.similarity import embedding_neardup_pairs_lsh
+    dim = _read_query_embeddings(sf_dir, n=1)["matrix"].shape[1]
+    pairs = embedding_neardup_pairs_lsh(_emb(sf_dir), dim=dim,
+                                        threshold=0.5, n_planes=6)
+    pairs = pairs.select_columns(["vec_a", "vec_b"]).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    nodes = _emb(sf_dir).select_columns(["vec_id"]).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    cc = connected_components(pairs, nodes, num_partitions=8)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["vec_id", "cluster_id"]),
+        batch_format="pyarrow")
+
+
 def _q_page_metadata(sf_dir: str):
     """Head-metadata extraction (title / meta description) over the
     wrapped corpus — the content the span extractor strips."""
@@ -933,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_shuffle": _q_decontam_shuffle,
         "minhash_pairs_incr": _q_minhash_pairs_incr,  # rows-only
         "token_shards": _q_token_shards,
+        "emb_neardup_clusters": _q_emb_neardup_clusters,  # rows-only
         # flagship + end-to-end pipelines
         "extract_flagship": _q_extract_flagship,
         "extract_totals": _q_extract_totals,

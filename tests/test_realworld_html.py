@@ -322,3 +322,19 @@ def test_deep_misnesting_preserves_text_order():
     doc = parse("<a href=u><div>card</div></a>after")
     kinds = [s[0] for s in extract_spans(doc, DEFAULT_PROFILE)]
     assert kinds == ["link", "text"]
+
+
+def test_random_garbage_never_raises():
+    """Arbitrary byte soup (decoded with replacement) must parse to a
+    tree — never raise; the pipeline's per-row quarantine only covers
+    genuine crashes, so the kernel's contract is total."""
+    import random
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+
+    rng = random.Random(11)
+    for _ in range(40):
+        raw = bytes(rng.randrange(256)
+                    for _ in range(rng.randint(0, 3000)))
+        d = parse(raw.decode("utf-8", errors="replace"))
+        list(extract_spans(d, DEFAULT_PROFILE))
+        assert d.parse_errors >= 0
