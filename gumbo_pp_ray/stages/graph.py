@@ -178,6 +178,18 @@ def _cc_broadcast(pairs_ds, nodes_ds, *, max_iters: int):
             if better.any():
                 vals[pos[better]] = c[better]
                 changed = True
+        if changed:
+            # driver-side pointer jumping (shortcutting, cf. the
+            # SoCC'14 CC-in-MapReduce family): a label is a node id
+            # whose OWN label may be smaller — composing label∘label
+            # is pure vectorized driver work and collapses chains, so
+            # the distributed rounds track ~log(diameter), not
+            # diameter
+            while True:
+                nxt = vals[np.searchsorted(keys, vals)]
+                if (nxt == vals).all():
+                    break
+                vals = nxt
         if not changed:
             out = pa.table({
                 "doc_id": pa.array(keys, pa.int64()),

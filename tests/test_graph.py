@@ -125,3 +125,23 @@ def test_cc_broadcast_plan_matches_cogroup(ray_session):
     if iso:
         v = iso.pop()
         assert fast.loc[fast.doc_id == v, "cluster_id"].item() == v
+
+
+def test_cc_broadcast_long_chain_converges(ray_session):
+    """A pure chain has diameter = n: without driver-side pointer
+    jumping the broadcast plan would need n rounds (and trip
+    max_iters); with shortcutting it converges in ~log n rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.stages.graph import connected_components
+
+    n = 1500
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(np.arange(n - 1), pa.int64()),
+        "doc_b": pa.array(np.arange(1, n), pa.int64())})).repartition(4)
+    nodes = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64())})).repartition(4)
+    out = connected_components(pairs, nodes, plan="broadcast",
+                               max_iters=30).to_pandas()
+    assert (out["cluster_id"] == 0).all()
