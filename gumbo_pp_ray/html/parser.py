@@ -179,6 +179,55 @@ def _decode(raw: str) -> str:
     return unescape(raw) if "&" in raw else raw
 
 
+from html.entities import html5 as _HTML5_ENTITIES  # noqa: E402
+
+_MAX_ENT_LEN = max(len(k) for k in _HTML5_ENTITIES)
+_NUMERIC_ENT_RE = re.compile(r"&#(?:[0-9]+|[xX][0-9a-fA-F]+);?")
+
+
+def _decode_attr(raw: str) -> str:
+    """Attribute-value character references, per the spec's
+    ATTRIBUTE context rule: a legacy (no-semicolon) named entity
+    followed by an ASCII alphanumeric or '=' is NOT decoded —
+    ``href="?lang=en&notify=1"`` must keep its literal ``&not``
+    (``html.unescape`` implements only the TEXT context and would
+    corrupt such URLs to ``…en¬ify=1``)."""
+    if "&" not in raw:
+        return raw
+    out = []
+    i, n = 0, len(raw)
+    while True:
+        j = raw.find("&", i)
+        if j == -1:
+            out.append(raw[i:])
+            break
+        out.append(raw[i:j])
+        m = _NUMERIC_ENT_RE.match(raw, j)
+        if m:                   # numeric refs decode in both contexts
+            out.append(unescape(m.group(0)))
+            i = m.end()
+            continue
+        seg = raw[j + 1:j + 1 + _MAX_ENT_LEN]
+        best = None
+        for ln in range(len(seg), 0, -1):    # longest match wins
+            if seg[:ln] in _HTML5_ENTITIES:
+                best = seg[:ln]
+                break
+        if best is None:
+            out.append("&")
+            i = j + 1
+            continue
+        end = j + 1 + len(best)
+        if (not best.endswith(";") and end < n
+                and (raw[end].isalnum() or raw[end] == "=")):
+            out.append("&")     # attribute-context rule: keep literal
+            i = j + 1
+            continue
+        out.append(_HTML5_ENTITIES[best])
+        i = end
+    return "".join(out)
+
+
 def _is_ws(s: str) -> bool:
     return s.isspace() or not s
 
@@ -195,7 +244,7 @@ def _parse_attrs(raw: str) -> dict:
         else:
             if val[:1] in "\"'" and val[-1:] == val[:1] and len(val) >= 2:
                 val = val[1:-1]
-            attrs[name] = _decode(val)
+            attrs[name] = _decode_attr(val)
     return attrs
 
 

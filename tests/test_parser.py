@@ -334,3 +334,29 @@ def test_parse_options_fragment_context():
     body = sc.children[0].children[1]
     assert body.children[0].tag == "script"
     assert content_text(body.children[0]) == "var a = '<div>';"
+
+
+def test_attribute_context_entity_rules():
+    """Spec's ATTRIBUTE-context character-reference rule: a legacy
+    (no-semicolon) named entity followed by an alphanumeric or '=' is
+    NOT decoded — real-world URLs like ?lang=en&notify=1 must survive
+    verbatim (the text-context decoder would corrupt them)."""
+    from gumbo_pp_ray.html import parse, walk
+
+    def href(h):
+        d = parse(h)
+        return [n.attr("href") for n in walk(d)
+                if getattr(n, "tag", "") == "a"][0]
+
+    assert href('<a href="?lang=en&notify=1">x</a>') == "?lang=en&notify=1"
+    assert href('<a href="&ltx">x</a>') == "&ltx"
+    assert href('<a href="&amp=1">x</a>') == "&amp=1"
+    # with a semicolon (or a non-alnum follower) decoding still happens
+    assert href('<a href="?x=&not;y">x</a>') == "?x=¬y"
+    assert href('<a href="?a=1&amp;b=2">x</a>') == "?a=1&b=2"
+    assert href('<a href="&lt">x</a>') == "<"
+    assert href('<a href="a&#65;b">x</a>') == "aAb"
+    assert href('<a href="&bogus;z">x</a>') == "&bogus;z"
+    # TEXT context keeps the lenient legacy behavior
+    from gumbo_pp_ray.html import content_text
+    assert content_text(parse("<p>a&ltb</p>")) == "a<b"
