@@ -434,6 +434,17 @@ class _TreeBuilder:
         self._append(TextNode(CDATA, text, start, end))
 
     def text(self, raw: str, start: int, end: int):
+        top = self.stack[-1]
+        if (getattr(top, "tag", "") in ("pre", "listing")
+                and not top._children):
+            # spec: a single newline immediately after a <pre>/<listing>
+            # start tag is dropped
+            if raw.startswith("\r\n"):
+                raw, start = raw[2:], start + 2
+            elif raw.startswith(("\n", "\r")):
+                raw, start = raw[1:], start + 1
+            if not raw:
+                return
         if _is_ws(raw):
             # whitespace before <html>, before <head> and between
             # </head> and <body> is ignored (HTML5 modes); inside
@@ -814,6 +825,13 @@ def parse(html: str, options: ParseOptions | None = None) -> Document:
                     tag_end = n
                     tb.error(pos, "eof-in-rawtext")
                 raw = html[pos:content_end]
+                if tag == "textarea":
+                    # spec: a single newline right after <textarea> is
+                    # dropped (same rule as <pre>)
+                    if raw.startswith("\r\n"):
+                        raw, pos = raw[2:], pos + 2
+                    elif raw.startswith(("\n", "\r")):
+                        raw, pos = raw[1:], pos + 1
                 if raw:
                     txt = _decode(raw) if tag in RCDATA_ELEMENTS else raw
                     node = TextNode(WHITESPACE if _is_ws(raw) else TEXT,

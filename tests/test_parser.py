@@ -360,3 +360,21 @@ def test_attribute_context_entity_rules():
     # TEXT context keeps the lenient legacy behavior
     from gumbo_pp_ray.html import content_text
     assert content_text(parse("<p>a&ltb</p>")) == "a<b"
+
+
+def test_pre_textarea_leading_newline_dropped():
+    """Spec: a single newline immediately after <pre>, <listing> or
+    <textarea> start tags is dropped; only the first one."""
+    from gumbo_pp_ray.html import content_text, parse, walk
+
+    def text_of(h, tag):
+        for n in walk(parse(h)):
+            if getattr(n, "tag", "") == tag:
+                return content_text(n)
+
+    assert text_of("<pre>\nkeep</pre>", "pre") == "keep"
+    assert text_of("<pre>\r\nkeep</pre>", "pre") == "keep"
+    assert text_of("<pre>\n\nkeep</pre>", "pre") == "\nkeep"
+    assert text_of("<pre>keep</pre>", "pre") == "keep"
+    assert text_of("<textarea>\nkeep</textarea>", "textarea") == "keep"
+    assert text_of("<listing>\nx</listing>", "listing") == "x"
