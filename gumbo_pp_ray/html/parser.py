@@ -808,6 +808,12 @@ def parse(html: str, options: ParseOptions | None = None) -> Document:
                 break
             tag, rawattrs, slash = m.group(1, 2, 3)
             tag = tag.lower()
+            if tag == "image":
+                # spec "in body": <image> is a parse error treated as
+                # <img> — legacy pages still use it and its media_ref
+                # must not be lost
+                tb.error(lt, "image-tag")
+                tag = "img"
             attrs = _parse_attrs(rawattrs) if rawattrs else {}
             self_closing = slash == "/"
             el = tb.start_tag(tag, attrs, lt, m.end(), self_closing)

@@ -378,3 +378,16 @@ def test_pre_textarea_leading_newline_dropped():
     assert text_of("<pre>keep</pre>", "pre") == "keep"
     assert text_of("<textarea>\nkeep</textarea>", "textarea") == "keep"
     assert text_of("<listing>\nx</listing>", "listing") == "x"
+
+
+def test_image_tag_aliases_to_img():
+    """Spec: an <image> start tag is a parse error treated as <img> —
+    legacy markup keeps its media span."""
+    from gumbo_pp_ray.html import parse
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+
+    d = parse("<p>x<image src='img://legacy.png'></p>")
+    spans = list(extract_spans(d, DEFAULT_PROFILE))
+    assert ("media", "", "img://legacy.png") in [
+        (s[0], s[1], s[2]) for s in spans]
+    assert d.parse_errors >= 1
