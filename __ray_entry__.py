@@ -498,6 +498,16 @@ def _q_hopping_counts(sf_dir: str):
                           hop_sec=21600)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Sliding-window chunking (128-token chunks, 32 overlap) — the
+    embed/train preprocessing step; exact vs the SQL window oracle."""
+    import functools
+    from gumbo_pp_ray.stages.text_analysis import chunk_documents
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        functools.partial(chunk_documents, chunk_tokens=128, overlap=32),
+        batch_format="pyarrow")
+
+
 def _q_norm_text(sf_dir: str):
     """Unicode NFC + lowercase + whitespace-collapse normalization
     (the standard pre-tokenization step); md5 of the normalized form
@@ -955,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_incr": _q_minhash_pairs_incr,  # rows-only
         "token_shards": _q_token_shards,
         "emb_neardup_clusters": _q_emb_neardup_clusters,  # rows-only
+        "doc_chunks": _q_doc_chunks,
         # flagship + end-to-end pipelines
         "extract_flagship": _q_extract_flagship,
         "extract_totals": _q_extract_totals,
@@ -1301,6 +1312,25 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'm' || (doc_id % 7) || '.it'
               END AS host
             FROM documents
+        """,
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS t
+              FROM documents),
+            starts AS (
+              SELECT doc_id, t, u.s AS s
+              FROM toks,
+                   unnest(generate_series(0, GREATEST(len(t) - 1, 0),
+                                          96)) AS u(s)
+              WHERE len(t) > 0 AND u.s < len(t))
+            SELECT doc_id,
+                   CAST(s // 96 AS BIGINT) AS chunk_idx,
+                   array_to_string(t[s + 1:s + 128], ' ') AS chunk_text,
+                   CAST(LEAST(len(t) - s, 128) AS BIGINT) AS n_tokens
+            FROM starts
         """,
         "token_shards": """
             SELECT doc_id, n_chars,

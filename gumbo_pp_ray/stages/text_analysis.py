@@ -364,3 +364,36 @@ def normalize_text(batch: pa.Table, *, form: str = "NFC",
         "norm_text": pa.array(out, pa.string()),
         "norm_hash": pa.array(hashes, pa.string()),
     })
+
+
+def chunk_documents(batch: pa.Table, *, chunk_tokens: int = 128,
+                    overlap: int = 32) -> pa.Table:
+    """Sliding-window chunking — the embed/train preprocessing step:
+    each doc's whitespace tokens are windowed into chunks of
+    ``chunk_tokens`` starting every ``chunk_tokens - overlap`` tokens
+    (consecutive chunks share ``overlap`` tokens; the last chunk may be
+    shorter; empty docs emit no chunks).  Pure map — chunking is
+    per-doc, so the stage adds rows without any exchange; integer
+    chunk_idx and token counts keep it exactly SQL-reproducible."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap} / "
+            f"{chunk_tokens}")
+    step = chunk_tokens - overlap
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_idx, out_text, out_n = [], [], [], []
+    for i, t in zip(ids, texts):
+        toks = t.split()
+        for start in range(0, len(toks), step):
+            window = toks[start:start + chunk_tokens]
+            out_id.append(i)
+            out_idx.append(start // step)
+            out_text.append(" ".join(window))
+            out_n.append(len(window))
+    return pa.table({
+        "doc_id": pa.array(out_id),
+        "chunk_idx": pa.array(out_idx, pa.int64()),
+        "chunk_text": pa.array(out_text, pa.string()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+    })

@@ -137,3 +137,28 @@ def test_normalize_text_unit():
     import hashlib
     assert out.column("norm_hash").to_pylist()[0] == \
         hashlib.md5("café latte".encode()).hexdigest()
+
+
+def test_chunk_documents_windows():
+    import pyarrow as pa
+    import pytest
+    from gumbo_pp_ray.stages.text_analysis import chunk_documents
+
+    toks = [f"t{i}" for i in range(300)]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": [" ".join(toks), "a b", ""]})
+    out = chunk_documents(t, chunk_tokens=128, overlap=32)
+    d1 = out.filter(pa.compute.equal(out.column("doc_id"), 1)).to_pylist()
+    # starts 0, 96, 192, 288 -> lengths 128,128,108,12
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in d1] == [128, 128, 108, 12]
+    # consecutive chunks share exactly `overlap` tokens
+    a = d1[0]["chunk_text"].split()
+    b = d1[1]["chunk_text"].split()
+    assert a[-32:] == b[:32]
+    # short doc: one chunk; empty doc: none
+    assert [r["n_tokens"] for r in out.to_pylist()
+            if r["doc_id"] == 2] == [2]
+    assert not [r for r in out.to_pylist() if r["doc_id"] == 3]
+    with pytest.raises(ValueError):
+        chunk_documents(t, chunk_tokens=32, overlap=32)
