@@ -100,6 +100,14 @@ _FORMATTING = frozenset(
 _AFE_MARKERS = frozenset(("table", "td", "th", "caption"))
 _AFE_MARKER = object()
 
+# known non-void HTML elements outside _SPECIAL/_FORMATTING whose
+# trailing solidus is also ignored (spec rule; foreign tags keep it)
+_SLASH_IGNORED_EXTRA = frozenset((
+    "span", "label", "abbr", "cite", "q", "sub", "sup", "mark", "time",
+    "data", "kbd", "samp", "var", "bdi", "bdo", "ruby", "rt", "rp",
+    "ins", "del", "dfn", "output", "picture", "audio", "video",
+))
+
 # the WHATWG "special" category (trimmed to tags this parser emits) —
 # used as the furthest-block test in the adoption agency
 _SPECIAL = frozenset((
@@ -467,6 +475,15 @@ class _TreeBuilder:
                 self._reconstruct_afe(start)
             self._append(node)
 
+    def _merge_structural_attrs(self, tag: str, attrs: dict):
+        """Spec: a duplicate <html>/<body> start tag adds its attrs
+        NOT already present to the existing element (never overrides)."""
+        target = (self.html if tag == "html"
+                  else self.body if tag == "body" else None)
+        if target is not None and attrs:
+            for k, v in attrs.items():
+                target.attrs.setdefault(k, v)
+
     def _foster_append(self, node: Node):
         for i in range(len(self.stack) - 1, 0, -1):
             el = self.stack[i]
@@ -489,6 +506,7 @@ class _TreeBuilder:
                 return self._insert_element(tag, attrs, start, end,
                                             self_closing)
             self.error(start, "duplicate-structural-tag")
+            self._merge_structural_attrs(tag, attrs)
             top = self.stack[-1]
             return top if isinstance(top, Element) else None
         if self.mode == _BEFORE_HTML:
@@ -532,6 +550,7 @@ class _TreeBuilder:
             self._ensure_body(start)
         if self.mode == _IN_BODY and tag in ("html", "head", "body"):
             self.error(start, "duplicate-structural-tag")
+            self._merge_structural_attrs(tag, attrs)
             return self.stack[-1] if isinstance(self.stack[-1], Element) else None
         return self._insert_element(tag, attrs, start, end, self_closing)
 
@@ -604,6 +623,14 @@ class _TreeBuilder:
             self.afe.append([tag, attrs, el])
             return el
         el = Element(tag, attrs, start, end)
+        if self_closing and tag not in VOID_ELEMENTS:
+            if tag in _SPECIAL or tag in _FORMATTING or tag in _SLASH_IGNORED_EXTRA:
+                # spec: the trailing solidus on a KNOWN non-void HTML
+                # element is a parse error and IGNORED — <div/> opens a
+                # div (foreign/unknown tags below keep honoring it, as
+                # foreign content does)
+                self.error(start, "trailing-solidus-on-nonvoid")
+                self_closing = False
         if tag in VOID_ELEMENTS or self_closing:
             self._append(el)
             el.end_tag_start = el.end = end

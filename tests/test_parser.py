@@ -50,11 +50,22 @@ def test_void_elements_do_not_nest():
 
 
 def test_self_closing_slash():
+    # spec: the trailing solidus on a KNOWN non-void HTML element is a
+    # parse error and IGNORED — <span/> stays open and contains the
+    # following text
     d = parse("<div><span/>after</div>")
     div = [n for n in walk(d) if n.tag == "div"][0]
     assert [c.tag for c in div.children if c.kind == ELEMENT] == ["span"]
     span = div.children[0]
-    assert span.children == []
+    assert [c.text for c in span.children] == ["after"]
+    assert d.parse_errors >= 1
+    # void elements and foreign/unknown tags still honor it
+    d = parse("<p>a<br/>b</p>")
+    p = [n for n in walk(d) if n.tag == "p"][0]
+    assert [c.tag for c in p.children if c.kind == ELEMENT] == ["br"]
+    d = parse("<svg/><p>k</p>")
+    svg = [n for n in walk(d) if n.tag == "svg"][0]
+    assert svg.children == []
 
 
 def test_attributes_quoted_unquoted_valueless():
@@ -391,3 +402,15 @@ def test_image_tag_aliases_to_img():
     assert ("media", "", "img://legacy.png") in [
         (s[0], s[1], s[2]) for s in spans]
     assert d.parse_errors >= 1
+
+
+def test_duplicate_html_body_attrs_merge():
+    """Spec: duplicate <html>/<body> start tags add their attributes
+    NOT already present to the existing element (never overriding)."""
+    from gumbo_pp_ray.html import parse
+
+    d = parse("<body class='a'><p>t</p></body><body id='b' class='c'>")
+    body = d.children[0].children[1]
+    assert body.attrs == {"class": "a", "id": "b"}
+    d = parse("<html lang=en><html dir=rtl><body>x</body>")
+    assert d.children[0].attrs == {"lang": "en", "dir": "rtl"}
