@@ -778,13 +778,29 @@ def parse(html: str, options: ParseOptions | None = None) -> Document:
         c = html[lt + 1: lt + 2]
         if c == "!":
             if startswith("<!--", lt):
-                close = find("-->", lt + 4)
-                if close < 0:
-                    tb.comment(html[lt + 4:], lt, n)
+                body_start = lt + 4
+                bang = find("--!>", body_start)
+                close = find("-->", body_start)
+                if startswith(">", body_start) or startswith("->",
+                                                             body_start):
+                    # spec "abrupt closing of empty comment": <!--> and
+                    # <!---> are empty comments, NOT comment openers —
+                    # treating them as openers swallows the page
+                    clen = 1 if html[body_start] == ">" else 2
+                    tb.comment("", lt, body_start + clen)
+                    tb.error(lt, "abrupt-closing-of-empty-comment")
+                    pos = body_start + clen
+                elif bang != -1 and (close < 0 or bang < close):
+                    # spec "incorrectly-closed-comment": --!> ends it
+                    tb.comment(html[body_start:bang], lt, bang + 4)
+                    tb.error(lt, "incorrectly-closed-comment")
+                    pos = bang + 4
+                elif close < 0:
+                    tb.comment(html[body_start:], lt, n)
                     tb.error(lt, "eof-in-comment")
                     pos = n
                 else:
-                    tb.comment(html[lt + 4: close], lt, close + 3)
+                    tb.comment(html[body_start: close], lt, close + 3)
                     pos = close + 3
             elif startswith("<![CDATA[", lt):
                 close = find("]]>", lt + 9)
@@ -806,6 +822,20 @@ def parse(html: str, options: ParseOptions | None = None) -> Document:
                     tb.doctype(body[7:].strip(), lt, gt + 1)
                 else:                   # bogus comment
                     tb.comment(body, lt, gt + 1)
+                pos = gt + 1
+        elif c == "?":
+            # spec "unexpected-question-mark-instead-of-tag-name":
+            # processing instructions (<?php …?>) become BOGUS COMMENTS
+            # — emitting them as text would leak server-side source
+            # into extracted spans
+            gt = find(">", lt)
+            if gt < 0:
+                tb.comment(html[lt + 1:], lt, n)
+                tb.error(lt, "eof-in-bogus-comment")
+                pos = n
+            else:
+                tb.comment(html[lt + 1: gt], lt, gt + 1)
+                tb.error(lt, "pi-as-bogus-comment")
                 pos = gt + 1
         elif c == "/":
             m = _END_TAG_RE.match(html, lt)

@@ -414,3 +414,36 @@ def test_duplicate_html_body_attrs_merge():
     assert body.attrs == {"class": "a", "id": "b"}
     d = parse("<html lang=en><html dir=rtl><body>x</body>")
     assert d.children[0].attrs == {"lang": "en", "dir": "rtl"}
+
+
+def test_comment_abrupt_and_bang_closers():
+    """Spec comment edge cases that previously swallowed the page:
+    <!--> / <!---> are abruptly-closed EMPTY comments; --!> closes a
+    comment (incorrectly-closed-comment error)."""
+    from gumbo_pp_ray.html import COMMENT, parse, walk
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+
+    def spans(h):
+        return [s[1] for s in extract_spans(parse(h), DEFAULT_PROFILE)]
+
+    assert spans("<!---><p>x</p>") == ["x"]
+    assert spans("<!--><p>x</p>") == ["x"]
+    assert spans("<!-- c --!><p>x</p>") == ["x"]
+    d = parse("<!-- c --!>k")
+    assert [n.text for n in walk(d) if n.kind == COMMENT] == [" c "]
+    assert d.parse_errors >= 1
+
+
+def test_processing_instruction_is_bogus_comment():
+    """<?php …?> / <?xml …?> become bogus comments (spec), never text —
+    leaked server-side source must not reach extracted spans."""
+    from gumbo_pp_ray.html import COMMENT, parse, walk
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+
+    d = parse("<?php echo $secret; ?><p>visible</p>")
+    assert [s[1] for s in extract_spans(d, DEFAULT_PROFILE)] == ["visible"]
+    assert [n.text for n in walk(d) if n.kind == COMMENT] == \
+        ["?php echo $secret; ?"]
+    assert d.parse_errors >= 1
+    d2 = parse("<?xml version='1.0'?><p>k</p>")
+    assert [s[1] for s in extract_spans(d2, DEFAULT_PROFILE)] == ["k"]
