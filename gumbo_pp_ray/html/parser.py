@@ -127,6 +127,9 @@ _START_TAG_RE = re.compile(
     re.S,
 )
 _END_TAG_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:_-]*)\s*>")
+# fallback: end tags carrying attributes / a trailing solidus — the
+# name is honored, the junk is dropped (spec end-tag-with-attributes)
+_END_TAG_NAME_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:_-]*)[\s/]")
 # fallback for tags the quote-aware regex rejects (e.g. a stray quote
 # inside an unquoted attribute value: <div class=foo"bar>) — consume to
 # the first '>' like the HTML5 tokenizer's attribute-value-unquoted
@@ -843,13 +846,21 @@ def parse(html: str, options: ParseOptions | None = None) -> Document:
                 tb.end_tag(m.group(1).lower(), lt, m.end())
                 pos = m.end()
             else:
+                m = _END_TAG_NAME_RE.match(html, lt)
                 gt = find(">", lt)
                 if gt < 0:
                     tb.error(lt, "eof-in-end-tag")
                     pos = n
                     break
-                tb.comment(html[lt + 2: gt], lt, gt + 1)   # bogus comment
-                tb.error(lt, "malformed-end-tag")
+                if m:
+                    # spec: an end tag with attributes or a trailing
+                    # solidus (</div class=x>, </div/>) is a parse
+                    # error but the end tag IS processed (junk ignored)
+                    tb.end_tag(m.group(1).lower(), lt, gt + 1)
+                    tb.error(lt, "end-tag-with-attributes")
+                else:
+                    tb.comment(html[lt + 2: gt], lt, gt + 1)   # bogus
+                    tb.error(lt, "malformed-end-tag")
                 pos = gt + 1
         elif c.isalpha():
             m = _START_TAG_RE.match(html, lt)

@@ -447,3 +447,26 @@ def test_processing_instruction_is_bogus_comment():
     assert d.parse_errors >= 1
     d2 = parse("<?xml version='1.0'?><p>k</p>")
     assert [s[1] for s in extract_spans(d2, DEFAULT_PROFILE)] == ["k"]
+
+
+def test_end_tag_with_attributes_or_solidus_processed():
+    """Spec: </div class=x> and </div/> are parse errors but the end
+    tag IS processed (junk dropped); </ div> stays a bogus comment."""
+    from gumbo_pp_ray.html import parse
+
+    def body_tags(h):
+        d = parse(h)
+        body = d.children[0].children[1]
+        return [(getattr(c, "tag", ""),
+                 [getattr(g, "tag", "") for g in c.children
+                  if getattr(g, "tag", "")])
+                for c in body.children if getattr(c, "tag", "")], \
+            d.parse_errors
+
+    assert body_tags("<div>a</div class=x><p>b</p>") == \
+        ([("div", []), ("p", [])], 1)
+    assert body_tags("<div>a</div/><p>b</p>") == \
+        ([("div", []), ("p", [])], 1)
+    # space before the name: bogus comment, div stays open (spec)
+    assert body_tags("<div>a</ div><p>b</p>") == \
+        ([("div", ["p"])], 1)
