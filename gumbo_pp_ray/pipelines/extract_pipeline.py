@@ -49,6 +49,7 @@ def extract_dataset(
     concurrency=None,
     batch_size: int = 96,
     max_doc_bytes: int | None = 256 * 1024 * 1024,
+    reassembly_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Compose the extraction stages over an interleaved-docs Dataset.
 
@@ -99,7 +100,12 @@ def extract_dataset(
         pool = (concurrency if isinstance(concurrency, int)
                 else concurrency[1] if isinstance(concurrency, tuple)
                 else default_pool_size())
-        num_buckets = max(16, 2 * pool)
+        # per-bucket memory = total extracted spans / num_buckets; the
+        # pool-derived default fits single-node corpora — at multi-TB
+        # scale pass reassembly_buckets ≈ extracted_bytes / 256 MB so
+        # one bucket group stays worker-heap-sized
+        num_buckets = (reassembly_buckets if reassembly_buckets
+                       else max(16, 2 * pool))
         ds = ds.map_batches(
             functools.partial(add_reassembly_bucket,
                               num_buckets=num_buckets),

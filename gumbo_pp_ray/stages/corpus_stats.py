@@ -261,6 +261,11 @@ def decontaminate_shuffle(ds, bench_ds, *, n: int = 3,
        rows guaranteeing every input doc appears (hits 0 included).
 
     Output schema and values identical to ``decontaminate``.
+
+    Partitioning assumption: one gram-hash bucket's rows (both sides)
+    and one doc-hash bucket's rows must fit a worker — size
+    ``num_partitions`` ≈ total distinct n-grams / 5M at corpus scale
+    (the default 16 fits single-node corpora).
     """
     grams = ds.map_batches(
         functools.partial(_decon_gram_rows, n=n,

@@ -132,7 +132,14 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
                                   num_partitions: int = 16):
     """Near-dup pairs (doc_a, doc_b, jaccard_est_milli) involving at
     least one NEW document: new-vs-index and new-vs-new; never
-    index-vs-index."""
+    index-vs-index.
+
+    Partitioning assumption: one band-key shuffle partition holds
+    ~(index+new) x bands / num_partitions signature rows — size
+    ``num_partitions`` ≈ total band rows / 1M at corpus scale (the
+    default 16 fits single-node corpora); band rows carry signatures,
+    so an extreme index side would use an ids-style exchange like
+    dedup.minhash_lsh_pairs(band_exchange="ids")."""
     from ..sources.io import read_parquet_clean
     from ..state.sizing import default_pool_size
     params = read_index_params(index_dir)

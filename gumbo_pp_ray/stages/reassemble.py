@@ -93,6 +93,13 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
     doc_lens = np.add.reduceat(row_lens, starts)
     flat = spans_col.flatten()              # values in (doc, chunk) order
     total = int(row_lens.sum())
+    if total > 2**31 - 1:
+        # list<int32> offsets would wrap silently — an oversized bucket
+        # means reassembly_buckets needs to scale with the corpus
+        raise ValueError(
+            f"reassembly bucket holds {total} spans (> int32 offsets); "
+            f"raise extract_dataset(reassembly_buckets=...) so one "
+            f"bucket stays worker-sized")
     doc_flat_starts = np.concatenate([[0], np.cumsum(doc_lens)[:-1]])
     new_off = (np.arange(total, dtype=np.int64)
                - np.repeat(doc_flat_starts, doc_lens)).astype(np.int32)
