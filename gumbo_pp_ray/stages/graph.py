@@ -136,9 +136,13 @@ def _cc_broadcast(pairs_ds, nodes_ds, *, max_iters: int):
 
     edges_refs = pairs_ds.map_batches(
         _sym_edges, batch_format="pyarrow").to_arrow_refs()
-    node_rows = nodes_ds.take_all()         # bounded by the plan gate
-    keys = np.sort(np.array([int(r["doc_id"]) for r in node_rows],
-                            dtype=np.int64))
+    # node ids as one numpy array (bounded by the plan gate ≈ 16 B/node;
+    # a take_all() of row dicts would cost ~500 B/node in Python objects)
+    parts = [ray.get(r) for r in nodes_ds.to_arrow_refs()]
+    keys = np.sort(np.concatenate(
+        [t.column("doc_id").to_numpy(zero_copy_only=False)
+         for t in parts if t.num_rows] or
+        [np.array([], dtype=np.int64)]).astype(np.int64))
     vals = keys.copy()                      # label(v) starts as v
 
     def partial_min(batch: pa.Table, *, labels_ref) -> pa.Table:
