@@ -70,6 +70,90 @@ def synth_payloads(batch: pa.Table) -> pa.Table:
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
 
+# ---------------------------------------------------- real containers
+
+def synth_image_bytes(doc_id: int) -> bytes:
+    """Deterministic REAL image container per doc: format cycles
+    PNG / GIF89a / JPEG(JFIF+SOF0) by ``doc_id % 3``; dimensions are
+    pure functions of doc_id (width = 16 + 3*id % 240,
+    height = 16 + 7*id % 240) so the decoded geometry has an exact
+    SQL oracle.  The bytes are honest container headers — any
+    standards-conforming reader (Pillow included) reports the same
+    dimensions ``parse_image_header`` does."""
+    import struct
+    import zlib
+    w = 16 + (doc_id * 3) % 240
+    h = 16 + (doc_id * 7) % 240
+    fmt = doc_id % 3
+    if fmt == 0:                                        # PNG
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        out = [b"\x89PNG\r\n\x1a\n"]
+        for typ, data in ((b"IHDR", ihdr), (b"IEND", b"")):
+            out.append(struct.pack(">I", len(data)) + typ + data
+                       + struct.pack(">I", zlib.crc32(typ + data)))
+        return b"".join(out)
+    if fmt == 1:                                        # GIF89a
+        return (b"GIF89a" + struct.pack("<HH", w, h)
+                + b"\x70\x00\x00" + b"\x3b")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"   # JPEG
+    sof0 = (struct.pack(">BHH", 8, h, w) + b"\x03"
+            + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+            + b"\xff\xd9")
+
+
+def synth_image_payloads(batch: pa.Table) -> pa.Table:
+    """Deterministic real-container payloads per row (fetch-stage
+    stand-in; no external data).  Needs a ``doc_id`` column castable
+    to int."""
+    ids = batch.column("doc_id").to_pylist()
+    payloads = [synth_image_bytes(int(i)) for i in ids]
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+def parse_image_header(payload: bytes):
+    """Pure-Python image header decode: PNG IHDR / GIF logical screen
+    descriptor / JPEG SOFn frame header → (format, width, height), or
+    None when the payload is not a recognizable image container.  This
+    is REAL decoding of the real container formats (no image library
+    needed for geometry) — the scale path for corpus-wide media stats
+    where full pixel decode is wasted work."""
+    import struct
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return ("png", w, h)
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xFF:              # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                pos += 2                    # parameterless markers
+                continue
+            seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if (0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)):
+                if pos + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return ("jpeg", w, h)
+            pos += 2 + seg_len
+        return None
+    return None
+
+
 def probe_image_codec():
     """Import-probe for a real image codec (Pillow).  Returns the
     Image module or None; called once per actor in DecodeMedia
@@ -90,19 +174,23 @@ class DecodeMedia:
 
     * ``"fake"`` — deterministic stub (byte-hash-derived geometry and
       features); always available.
-    * ``"real"`` — Pillow decode; raises ``NotImplementedError`` if no
-      codec library is importable (this container ships none).
-    * ``"auto"`` — Pillow if importable, else the stub; the chosen
-      mode is recorded in ``self.mode`` and emitted per row in the
-      ``decoder`` column, so downstream can tell real from stubbed
-      geometry.
+    * ``"headers"`` — REAL pure-Python container-header decode
+      (``parse_image_header``: PNG IHDR / GIF LSD / JPEG SOF);
+      geometry is exact for real containers, features are the
+      payload-hash vector (pixel decode needs a codec).
+    * ``"real"`` — full Pillow decode; raises ``NotImplementedError``
+      if no codec library is importable (this container ships none).
+    * ``"auto"`` — Pillow if importable, else the header decoder; the
+      chosen mode is recorded in ``self.mode`` and emitted per row in
+      the ``decoder`` column, so downstream can tell full decode from
+      header-only geometry.
 
-    Output per row: width, height, n_frames, feature vector
+    Output per row: format, width, height, n_frames, feature vector
     (list<float>, ``feat_dim``), decoder.
     """
 
     def __init__(self, decoder: str = "fake", feat_dim: int = 16):
-        if decoder not in ("fake", "real", "auto"):
+        if decoder not in ("fake", "headers", "real", "auto"):
             raise ValueError(f"unknown decoder: {decoder}")
         self._codec = None
         if decoder in ("real", "auto"):
@@ -110,9 +198,15 @@ class DecodeMedia:
             if decoder == "real" and self._codec is None:
                 raise NotImplementedError(
                     "no image codec library importable (Pillow); use "
-                    "decoder='fake' or 'auto' — the Ray plumbing "
+                    "decoder='headers' (real geometry, no pixels), "
+                    "'fake' or 'auto' — the Ray plumbing "
                     "(schema/actors/batching) is identical")
-        self.mode = "real" if self._codec is not None else "fake"
+        if self._codec is not None:
+            self.mode = "real"
+        elif decoder in ("headers", "auto"):
+            self.mode = "headers"
+        else:
+            self.mode = "fake"
         self.feat_dim = feat_dim
 
     def _decode_one(self, payload: bytes, media_type: str):
@@ -122,7 +216,19 @@ class DecodeMedia:
         n_frames = 1 if media_type == "image" else 1 + h[2]
         feats = (np.frombuffer(h[:self.feat_dim], dtype=np.uint8)
                  .astype(np.float32) / 255.0)
-        return width, height, n_frames, feats
+        return "", width, height, n_frames, feats
+
+    def _decode_one_headers(self, payload: bytes, media_type: str):
+        """Real container-header geometry; hash features (pixel
+        decode needs a codec).  Unrecognized containers → sentinel."""
+        parsed = parse_image_header(payload)
+        if parsed is None:
+            raise ValueError("unrecognized image container")
+        fmt, width, height = parsed
+        h = hashlib.sha256(payload).digest()
+        feats = (np.frombuffer(h[:self.feat_dim], dtype=np.uint8)
+                 .astype(np.float32) / 255.0)
+        return fmt, width, height, 1, feats
 
     def _decode_one_real(self, payload: bytes, media_type: str):
         """Pillow path: geometry from the decoded image; features =
@@ -131,26 +237,29 @@ class DecodeMedia:
         img = self._codec.open(io.BytesIO(payload))
         width, height = img.size
         n_frames = int(getattr(img, "n_frames", 1))
+        fmt = (getattr(img, "format", None) or "").lower()
         side = max(1, int(self.feat_dim ** 0.5))
         thumb = img.convert("L").resize((side, side))
         raw = np.frombuffer(thumb.tobytes(), dtype=np.uint8)
         feats = np.zeros(self.feat_dim, dtype=np.float32)
         feats[:len(raw)] = raw[:self.feat_dim].astype(np.float32) / 255.0
-        return width, height, n_frames, feats
+        return fmt, width, height, n_frames, feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         mtypes = batch.column("media_type").to_pylist()
-        decode = (self._decode_one_real if self._codec is not None
-                  else self._decode_one)
-        w, hgt, nf, feats = [], [], [], []
+        decode = {"real": self._decode_one_real,
+                  "headers": self._decode_one_headers,
+                  "fake": self._decode_one}[self.mode]
+        fmts, w, hgt, nf, feats = [], [], [], [], []
         for p, mt in zip(payloads, mtypes):
             try:
-                a, b, c, f = decode(p or b"", mt)
+                fm, a, b, c, f = decode(p or b"", mt)
             except Exception:
                 # undecodable payload → sentinel row, batch never fails
-                a, b, c, f = -1, -1, 0, np.zeros(self.feat_dim,
-                                                 dtype=np.float32)
+                fm, a, b, c, f = "", -1, -1, 0, np.zeros(
+                    self.feat_dim, dtype=np.float32)
+            fmts.append(fm)
             w.append(a)
             hgt.append(b)
             nf.append(c)
@@ -159,6 +268,7 @@ class DecodeMedia:
             "doc_id": batch.column("doc_id"),
             "media_ref": batch.column("media_ref"),
             "media_type": batch.column("media_type"),
+            "format": pa.array(fmts, pa.string()),
             "width": pa.array(w, pa.int32()),
             "height": pa.array(hgt, pa.int32()),
             "n_frames": pa.array(nf, pa.int32()),

@@ -92,14 +92,16 @@ def test_media_pipeline_over_ray(ray_session):
 
 
 def test_decode_media_auto_probe_fallback():
-    """No codec libs in this container: auto → stub, real → raises,
-    and a monkeypatched probe exercises the real path selection."""
+    """No codec libs in this container: auto → header decoder (real
+    geometry, no pixels), real → raises, and a monkeypatched probe
+    exercises the real path selection."""
     import pytest
 
     from gumbo_pp_ray.stages import media as m
 
     d = m.DecodeMedia(decoder="auto")
-    assert d.mode == "fake"
+    assert d.mode == "headers"
+    assert m.DecodeMedia(decoder="fake").mode == "fake"
     with pytest.raises(NotImplementedError):
         m.DecodeMedia(decoder="real")
     with pytest.raises(ValueError):
@@ -185,3 +187,60 @@ def test_decode_media_real_codec_roundtrip():
     assert out.column("height").to_pylist() == [17]
     assert out.column("decoder").to_pylist() == ["real"]
     assert any(v > 0 for v in out.column("features")[0].as_py())
+
+
+def test_synth_image_bytes_real_containers():
+    """The synthesized payloads are honest container headers: the
+    header decoder parses back exactly the generator's geometry for
+    all three formats."""
+    from gumbo_pp_ray.stages import media as m
+
+    for doc_id in (0, 1, 2, 59, 240, 481, 997):
+        payload = m.synth_image_bytes(doc_id)
+        fmt, w, h = m.parse_image_header(payload)
+        assert fmt == ("png", "gif", "jpeg")[doc_id % 3]
+        assert w == 16 + (doc_id * 3) % 240
+        assert h == 16 + (doc_id * 7) % 240
+
+
+def test_parse_image_header_rejects_junk():
+    from gumbo_pp_ray.stages import media as m
+
+    assert m.parse_image_header(b"") is None
+    assert m.parse_image_header(b"\x00" * 64) is None
+    assert m.parse_image_header(b"GIF8") is None            # truncated
+    assert m.parse_image_header(b"\x89PNG\r\n\x1a\n1234IDAT") is None
+    # JPEG SOI but no SOF marker before EOI
+    assert m.parse_image_header(b"\xff\xd8\xff\xd9\x00\x00") is None
+
+
+def test_parse_image_header_jpeg_skips_segments():
+    """SOF detection must scan past APPn/COM segments of arbitrary
+    length (real-world JPEGs lead with EXIF/comment blocks)."""
+    import struct
+
+    from gumbo_pp_ray.stages import media as m
+
+    comment = b"\xff\xfe" + struct.pack(">H", 2 + 10) + b"x" * 10
+    sof = (b"\xff\xc2" + struct.pack(">H", 11)
+           + struct.pack(">BHH", 8, 33, 77) + b"\x01\x11\x00")
+    payload = b"\xff\xd8" + comment + sof + b"\xff\xd9"
+    assert m.parse_image_header(payload) == ("jpeg", 77, 33)
+
+
+def test_decode_headers_mode_batch():
+    import pyarrow as pa
+
+    from gumbo_pp_ray.stages import media as m
+
+    batch = pa.table({
+        "doc_id": pa.array(["3", "4"], pa.string()),
+        "media_ref": pa.array(["img://doc/3.jpg", "img://doc/4.jpg"]),
+        "media_type": pa.array(["image", "image"]),
+    })
+    with_payload = m.synth_image_payloads(batch)
+    out = m.DecodeMedia(decoder="headers")(with_payload)
+    assert out.column("decoder").to_pylist() == ["headers"] * 2
+    assert out.column("format").to_pylist() == ["png", "gif"]
+    assert out.column("width").to_pylist() == [16 + 9, 16 + 12]
+    assert out.column("n_frames").to_pylist() == [1, 1]
