@@ -710,32 +710,26 @@ def _q_range_orders(sf_dir: str):
 
 
 def _q_pdf_layout(sf_dir: str):
-    """PDF/layout plumbing: deterministic fake payloads per doc →
-    stubbed layout parse → reading-order span reconstruction
-    (rows-only: the decode is a stub; the plumbing + ordering logic is
-    what runs)."""
-    import pyarrow as pa_
-    from gumbo_pp_ray.stages.pdf import PdfParse, layout_to_spans
+    """REAL PDF parse (VERDICT r3 item 6): deterministic well-formed
+    uncompressed PDFs per doc (multi-page, two-column, blocks written
+    in REVERSED stream order) → pure-Python mini extractor (object
+    table → page tree → content-stream Td/Tj ops, real coordinates)
+    → reading-order reconstruction → span sequence.  The span output
+    is a pure function of doc_id, so the whole chain has an exact SQL
+    oracle; the stub/pypdf seams stay tested in tests/test_pdf.py."""
+    from gumbo_pp_ray.stages.explode import explode_spans
+    from gumbo_pp_ray.stages.pdf import (
+        PdfParse, layout_to_spans, synth_pdf_payloads,
+    )
     from gumbo_pp_ray.state.sizing import default_concurrency
 
-    def payloads(batch):
-        ids = [str(i) for i in batch.column("doc_id").to_pylist()]
-        import hashlib
-        return pa_.table({
-            "doc_id": pa_.array(ids, pa_.string()),
-            "payload": pa_.array(
-                [hashlib.md5(i.encode()).digest() * 8 for i in ids],
-                pa_.binary()),
-        })
-
-    ds = _docs(sf_dir, ("doc_id",)).map_batches(payloads,
+    ds = _docs(sf_dir, ("doc_id",)).map_batches(synth_pdf_payloads,
                                                 batch_format="pyarrow")
     out = (ds.map_batches(PdfParse,
-                          fn_constructor_kwargs={"parser": "fake"},
+                          fn_constructor_kwargs={"parser": "mini"},
                           batch_format="pyarrow", batch_size=64,
                           concurrency=default_concurrency())
              .map_batches(layout_to_spans, batch_format="pyarrow"))
-    from gumbo_pp_ray.stages.explode import explode_spans
     return out.map_batches(explode_spans, batch_format="pyarrow")
 
 
@@ -1388,6 +1382,28 @@ def oracle_sql() -> dict[str, str]:
                      AS media_ref,
                    'image' AS media_type
             FROM documents
+        """,
+        # page/block/text formulas mirror pdf.synth_pdf_bytes; reading
+        # order (p asc, block asc) is what layout reconstruction must
+        # recover from the REVERSED content streams
+        "pdf_layout": """
+            WITH pages AS (
+              SELECT doc_id, t.p AS p
+              FROM documents,
+                   unnest(generate_series(0, doc_id % 2)) AS t(p)),
+            blocks AS (
+              SELECT doc_id, p, u.k AS k
+              FROM pages,
+                   unnest(generate_series(0, 1 + (doc_id + p) % 3))
+                     AS u(k))
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'text' AS kind,
+                   'doc ' || doc_id || ' p' || p || ' b' || k AS text,
+                   '' AS media_ref,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY p, k) - 1 AS INT)
+                     AS "offset"
+            FROM blocks
         """,
         # geometry formulas mirror media.synth_image_bytes (the real
         # containers the header decoder parses back)

@@ -96,7 +96,7 @@ def test_pdf_parse_auto_probe_fallback():
     from gumbo_pp_ray.stages import pdf as m
 
     p = m.PdfParse(parser="auto")
-    assert p.mode == "fake"
+    assert p.mode == "mini"          # no pypdf → real mini extractor
     with pytest.raises(NotImplementedError):
         m.PdfParse(parser="real")
     with pytest.raises(ValueError):
@@ -151,3 +151,73 @@ def test_pdf_parse_real_lib_roundtrip():
     # a blank page extracts no text blocks; the decode path must still
     # run without tripping the per-doc quarantine
     assert out.num_rows == 0
+
+
+def test_synth_pdf_is_wellformed():
+    """The synthesized PDFs are honest: header, object table, page
+    tree, xref, trailer — and every content stream is addressable
+    through the /Pages → /Page → /Contents chain."""
+    import re
+
+    from gumbo_pp_ray.stages import pdf as p
+
+    raw = p.synth_pdf_bytes(7)
+    assert raw.startswith(b"%PDF-1.4")
+    assert raw.rstrip().endswith(b"%%EOF")
+    assert b"/Type /Catalog" in raw and b"xref" in raw
+    n_objs = len(re.findall(rb"\d+ 0 obj", raw))
+    assert len(re.findall(rb"endobj", raw)) == n_objs
+
+
+def test_mini_pdf_layout_recovers_reading_order():
+    """Blocks are written to the streams in REVERSED order; the mini
+    extractor + layout_to_spans must restore p-asc, block-asc order
+    from the real Td coordinates."""
+    import pyarrow as pa
+
+    from gumbo_pp_ray.stages import pdf as p
+
+    doc_id = 5                       # 2 pages: 4 blocks then 2
+    rows = p.mini_pdf_layout(str(doc_id), p.synth_pdf_bytes(doc_id))
+    # stream order is reversed per page
+    assert rows[0][3] == "doc 5 p0 b3"
+    cols = list(zip(*rows))
+    batch = pa.table({
+        "doc_id": pa.array(cols[0]),
+        "page": pa.array(cols[1], pa.int32()),
+        "block_idx": pa.array(cols[2], pa.int32()),
+        "text": pa.array(cols[3]),
+        "x0": pa.array(cols[4], pa.float32()),
+        "y0": pa.array(cols[5], pa.float32()),
+        "x1": pa.array(cols[6], pa.float32()),
+        "y1": pa.array(cols[7], pa.float32()),
+    })
+    spans = p.layout_to_spans(batch).to_pylist()[0]["spans"]
+    assert [s["text"] for s in spans] == [
+        "doc 5 p0 b0", "doc 5 p0 b1", "doc 5 p0 b2", "doc 5 p0 b3",
+        "doc 5 p1 b0", "doc 5 p1 b1"]
+    assert [s["offset"] for s in spans] == [0, 1, 2, 3, 4, 5]
+
+
+def test_mini_pdf_handles_escapes_and_junk():
+    from gumbo_pp_ray.stages import pdf as p
+
+    assert p.mini_pdf_layout("x", b"not a pdf at all") == []
+    assert p.mini_pdf_layout("x", b"") == []
+    # escaped parens/backslash inside a Tj string
+    pdf = p.synth_pdf_bytes(0).replace(
+        b"(doc 0 p0 b0)", rb"(a \(b\) c \\ d)")
+    texts = [r[3] for r in p.mini_pdf_layout("x", pdf)]
+    assert r"a (b) c \ d" in texts
+
+
+def test_pdfparse_mini_mode_selection():
+    import pytest
+
+    from gumbo_pp_ray.stages import pdf as p
+
+    assert p.PdfParse(parser="mini").mode == "mini"
+    assert p.PdfParse(parser="auto").mode == "mini"   # no pypdf here
+    assert p.PdfParse(parser="fake").mode == "fake"
+    with pytest.raises(NotImplementedError):
+        p.PdfParse(parser="real")
