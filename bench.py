@@ -152,6 +152,36 @@ def bench_dedup_exact() -> dict:
     return {"sec": time.perf_counter() - t0, "groups": n}
 
 
+def bench_dedup_incr() -> dict:
+    """Incremental near-dup: new-shard docs vs a persisted signature
+    index (the recurring 100 TB cost — corpus signatures are already
+    on disk, only the shard is hashed).  Index build is untimed setup
+    (it is the prior ingests' output); the timed section is one
+    incremental pass."""
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+
+    idx = f"/tmp/gumbo_bench/sigidx-{os.path.basename(SF_DIR)}"
+    marker = os.path.join(idx, "_bench_ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(idx, ignore_errors=True)
+        import pyarrow.compute as pc
+        base = _docs_ds().map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(
+                t.column("doc_id"), 1), 0)), batch_format="pyarrow")
+        write_signature_index(base, idx)
+        with open(marker, "w") as f:
+            f.write("ok")
+    import pyarrow.compute as pc
+    new = _docs_ds().map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id"), 1), 1)), batch_format="pyarrow")
+    t0 = time.perf_counter()
+    n = minhash_lsh_pairs_incremental(new, idx, threshold=0.5).count()
+    return {"sec": time.perf_counter() - t0, "pairs": n}
+
+
 def bench_ann() -> dict:
     """Brute-force cosine top-10 for 32 queries over embeddings."""
     import numpy as np
@@ -177,6 +207,7 @@ BENCHES = {
     "selector": bench_selector,
     "dedup_exact": bench_dedup_exact,
     "dedup_minhash": bench_dedup_minhash,
+    "dedup_incr": bench_dedup_incr,
     "ann": bench_ann,
 }
 

@@ -65,6 +65,30 @@ def read_index_params(index_dir: str) -> dict:
         return json.load(f)
 
 
+def append_signature_index(ds, index_dir: str, *,
+                           concurrency=None) -> dict:
+    """Accrete a new shard's signatures into an EXISTING index — the
+    ingest loop's commit step after the shard has been deduped against
+    the corpus.  Hash params are read from the sidecar (never passed
+    in), so an accreted index can never silently mix incomparable
+    signatures; the shard's parquet files land beside the prior
+    generations' (Ray writes unique filenames — no rewrite of old
+    data, which at 100 TB is the difference between appending ~1-2%
+    and rewriting everything)."""
+    from ..state.sizing import default_pool_size
+    params = read_index_params(index_dir)
+    if concurrency is None:
+        concurrency = (2, default_pool_size())
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": params["num_perm"],
+                               "shingle_words": params["shingle_words"],
+                               "seed": params["seed"]},
+        batch_format="pyarrow", concurrency=concurrency)
+    sigs.write_parquet(index_dir)
+    return params
+
+
 def _flag_rows(batch: pa.Table, *, is_new: int) -> pa.Table:
     return batch.append_column(
         "is_new", pa.array(np.full(len(batch), is_new, dtype=np.int8)))

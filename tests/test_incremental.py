@@ -70,3 +70,69 @@ def test_index_params_roundtrip(ray_session, tmp_path):
                               shingle_words=2, seed=7, concurrency=2)
     assert read_index_params(idx) == p == {
         "num_perm": 64, "shingle_words": 2, "seed": 7}
+
+
+def test_multi_increment_index_growth(ray_session, tmp_path):
+    """Three successive ingest waves against one accreting index
+    (VERDICT r3 item 8): each wave dedups ONLY against what the index
+    held before it, old-old pairs stay suppressed as generations
+    accrete, and the sidecar params govern every appended shard."""
+    from gumbo_pp_ray.sources.io import list_input_files
+    from gumbo_pp_ray.stages.incremental import (
+        append_signature_index, minhash_lsh_pairs_incremental,
+        read_index_params, write_signature_index,
+    )
+
+    idx = str(tmp_path / "sigidx_grow")
+    write_signature_index(_mk_corpus(BASE), idx, concurrency=2)
+    n_files_0 = len(list_input_files(idx))
+    params_0 = read_index_params(idx)
+
+    # wave 1: one dup of base doc 5, one fresh doc
+    w1 = [BASE[5], "wave one fresh unique content alpha beta gamma"]
+    pairs1 = minhash_lsh_pairs_incremental(
+        _mk_corpus(w1, start_id=100), idx, threshold=0.8,
+        concurrency=2, num_partitions=4).to_pandas()
+    got1 = {tuple(r) for r in pairs1[["doc_a", "doc_b"]].itertuples(
+        index=False)}
+    assert (5, 100) in got1
+    append_signature_index(_mk_corpus(w1, start_id=100), idx,
+                           concurrency=2)
+    assert len(list_input_files(idx)) > n_files_0     # accreted, not
+    assert read_index_params(idx) == params_0         # rewritten
+
+    # wave 2: dups of BASE doc 9 AND of wave-1 doc 101 — the second
+    # only pairs if wave 1 really joined the index
+    w2 = [BASE[9], w1[1], "wave two brand new never seen text"]
+    pairs2 = minhash_lsh_pairs_incremental(
+        _mk_corpus(w2, start_id=200), idx, threshold=0.8,
+        concurrency=2, num_partitions=4).to_pandas()
+    got2 = {tuple(r) for r in pairs2[["doc_a", "doc_b"]].itertuples(
+        index=False)}
+    assert (9, 200) in got2          # vs generation 0
+    assert (101, 201) in got2        # vs generation 1
+    # old-old suppression holds across generations: every pair has a
+    # wave-2 member
+    assert all(b >= 200 for _, b in got2)
+    append_signature_index(_mk_corpus(w2, start_id=200), idx,
+                           concurrency=2)
+
+    # wave 3: dup of a wave-2 doc; index now spans three generations
+    w3 = [w2[2]]
+    pairs3 = minhash_lsh_pairs_incremental(
+        _mk_corpus(w3, start_id=300), idx, threshold=0.8,
+        concurrency=2, num_partitions=4).to_pandas()
+    got3 = {tuple(r) for r in pairs3[["doc_a", "doc_b"]].itertuples(
+        index=False)}
+    assert (202, 300) in got3
+    assert all(b >= 300 for _, b in got3)
+
+
+def test_append_requires_existing_index(ray_session, tmp_path):
+    import pytest
+
+    from gumbo_pp_ray.stages.incremental import append_signature_index
+
+    with pytest.raises(FileNotFoundError):
+        append_signature_index(_mk_corpus(["x"]),
+                               str(tmp_path / "nope"), concurrency=2)

@@ -338,3 +338,74 @@ def test_random_garbage_never_raises():
         d = parse(raw.decode("utf-8", errors="replace"))
         list(extract_spans(d, DEFAULT_PROFILE))
         assert d.parse_errors >= 0
+
+
+def test_forum_post_unclosed_bold_across_blocks():
+    """Real-world shape (FIXTURES §6 item 4): forum posts routinely
+    leave <b>/<strong> unclosed across several paragraphs and a quote
+    box; the close then lands blocks later.  Pins the full span-kind
+    and text order over the multi-block misnesting (the case the
+    single-furthest-block form must keep observable-correct)."""
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+    from gumbo_pp_ray.html.parser import parse
+
+    html = ("<html><body>"
+            "<p>intro</p>"
+            "<b>shouting starts"
+            "<p>first bold para</p>"
+            "<div class=quote>quoted reply</div>"
+            "more shouting</b> calm now"
+            "<p>outro</p></body></html>")
+    doc = parse(html)
+    spans = extract_spans(doc, DEFAULT_PROFILE)
+    assert [s[1] for s in spans if s[0] == "text"] == [
+        "intro", "shouting starts", "first bold para", "quoted reply",
+        "more shouting calm now", "outro"]
+    texts = "".join(s[1] for s in spans)
+    assert texts == ("introshouting startsfirst bold para"
+                     "quoted replymore shouting calm nowoutro")
+
+
+def test_news_article_italic_crossing_list():
+    """<i> opened mid-paragraph, closed inside a later list item —
+    the emphasis crosses p → ul/li block boundaries (a pattern from
+    CMS-pasted copy).  Text order and heading/link kinds must hold."""
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+    from gumbo_pp_ray.html.parser import parse
+
+    html = ("<article><h2>Titles</h2>"
+            "<p>lead <i>emphatic</p>"
+            "<ul><li>alpha</li><li>beta</i> tail</li></ul>"
+            "<p>closer</p></article>")
+    doc = parse(html)
+    spans = extract_spans(doc, DEFAULT_PROFILE)
+    assert spans[0] == ("heading", "Titles", "", 0)
+    assert "".join(s[1] for s in spans) == (
+        "Titleslead emphaticalphabeta tailcloser")
+
+
+def test_nested_divs_inside_formatting_close():
+    """</b> with TWO open divs above the b (stack [b, div, div]) —
+    beyond the single-furthest-block shape, so the pop-through path
+    runs; later text must NOT be bold-wrapped and order must hold."""
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+    from gumbo_pp_ray.html.parser import parse
+    from gumbo_pp_ray.html.walk import walk
+
+    html = "<b><div>1<div>2</b>3</div>4</div>5"
+    doc = parse(html)
+    got = "".join(s[1] for s in extract_spans(doc, DEFAULT_PROFILE))
+    assert got == "12345"
+    # '3' must not sit under any b element (the close is honored)
+    for node in walk(doc):
+        if getattr(node, "tag", "") == "b":
+            sub = "".join(
+                t.text for t in _subtree_text_nodes(node))
+            assert "3" not in sub and "4" not in sub and "5" not in sub
+
+
+def _subtree_text_nodes(node):
+    from gumbo_pp_ray.html.dom import TEXT
+    from gumbo_pp_ray.html.walk import subtree
+    return [n for n in subtree(node)
+            if getattr(n, "type", None) == TEXT]
