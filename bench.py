@@ -249,6 +249,23 @@ def _vs_prev(line: dict) -> dict | None:
     out["query_speedup"] = {
         k: round(pq_[k] / v, 3)
         for k, v in line["queries"].items() if pq_.get(k)}
+    # machine drift control: this VM's effective speed fluctuates 2-3x
+    # between sessions (documented in BASELINE.md).  When both records
+    # carry the single-core canary, also report canary-normalized
+    # speedups = raw * (canary_prev / canary_now) — the machine-
+    # independent ratio (unchanged code on a half-speed machine reads
+    # raw 0.5x but normalized 1.0x).
+    c_prev = prev.get("cpu_canary_docs_per_sec")
+    c_now = line.get("cpu_canary_docs_per_sec")
+    if c_prev and c_now:
+        scale = c_prev / c_now
+        out["canary_ratio_now_vs_prev"] = round(c_now / c_prev, 3)
+        if "extract_speedup" in out:
+            out["extract_speedup_canary_norm"] = round(
+                out["extract_speedup"] * scale, 3)
+        out["query_speedup_canary_norm"] = {
+            k: round(v * scale, 3)
+            for k, v in out["query_speedup"].items()}
     return out
 
 
