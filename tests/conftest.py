@@ -13,6 +13,18 @@ def pytest_configure(config):
         "realcodec: exercises the real media/PDF codec paths; "
         "auto-skipped when Pillow / pypdf are not installed "
         "(run `pytest -m realcodec` once wheels appear)")
+    # Hang forensics: the full suite runs ~4 min; if a run ever exceeds
+    # 30 min (observed once under heavy host CPU steal — a Ray Data
+    # plan stalled with idle workers), dump every thread's stack to
+    # stderr so the stall site is in the log.  Repeats every 30 min;
+    # diagnostic only, never kills the run.
+    import faulthandler
+    faulthandler.dump_traceback_later(1800, repeat=True)
+
+
+def pytest_unconfigure(config):
+    import faulthandler
+    faulthandler.cancel_dump_traceback_later()
 
 
 @pytest.fixture(scope="session")
