@@ -11,11 +11,22 @@ new — old-old pairs are suppressed by construction (the indexed corpus
 was already deduped; re-emitting its internal pairs would be
 output-sized noise).
 
-Scale shape: identical to stages/dedup.py's signatures plan (one
-band-key shuffle, in-bucket verify, hot buckets star-linked around the
-new members), with the index side streaming from parquet — the index
-read is column-pruned and the exchange carries (band_key, doc_id,
-signature, is_new) rows.
+Scale shape: mirrors stages/dedup.py's two plans, chosen by the same
+cost gate (``band_exchange``):
+
+* ``"signatures"`` — one band-key shuffle carrying signatures,
+  verification in-bucket.  Right up to ~1M total docs.
+* ``"ids"`` — band rows carry only (band_key, doc_id, is_new)
+  (~17 B/doc vs bands x signature ≈ 16 KB/doc, a ~1000x narrower
+  exchange); candidate pairs come out id-only and are verified by the
+  same two bucketed co-group attaches as the main path — fully
+  distributed, nothing pair-set-sized on the driver.  This is the
+  shape an accreted multi-TB signature index actually needs: the
+  index side streams from parquet TWICE (cheap column-pruned reads),
+  never through a wide shuffle.
+
+Old-old pair suppression happens at candidate generation in both
+plans, so the verify stages are shared with the main path unchanged.
 """
 
 from __future__ import annotations
@@ -28,8 +39,9 @@ import numpy as np
 import pyarrow as pa
 
 from .dedup import (
-    HOT_BUCKET_CAP, MinHashSignatures, _distinct_pairs, _sig_matrix,
-    lsh_bands,
+    HOT_BUCKET_CAP, MinHashSignatures, _attach_a_group, _attach_b_group,
+    _cogroup_pair_rows_a, _cogroup_sig_rows, _distinct_pairs,
+    _rekey_by_other, _sig_matrix, lsh_bands,
 )
 
 _PARAMS_FILE = "_index_params.json"
@@ -149,47 +161,116 @@ def bucket_candidate_pairs_incremental(group: pa.Table, *,
                      "jaccard_est_milli": pa.array(j_out, pa.int64())})
 
 
+def bucket_candidate_ids_incremental(group: pa.Table) -> pa.Table:
+    """One LSH bucket, id-only exchange: candidate pairs where at
+    least one side is NEW — old-old pairs never emitted.  Recall
+    policy mirrors bucket_candidate_pairs_incremental exactly:
+    all-pairs over the first HOT_BUCKET_CAP id-sorted members,
+    overflow NEW members star-linked to the bucket-minimum hub."""
+    ids_raw = group.column("doc_id").to_numpy(zero_copy_only=False)
+    flags = group.column("is_new").to_numpy(zero_copy_only=False)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if len(ids_raw) < 2:
+        return empty
+    # one row per doc (a doc reaches a bucket once per band); is_new
+    # wins if the same id appears on both sides
+    uids, inv = np.unique(ids_raw, return_inverse=True)
+    newf = np.zeros(len(uids), dtype=bool)
+    np.maximum.at(newf, inv, flags.astype(bool))
+    if len(uids) < 2 or not newf.any():
+        return empty
+    head = min(len(uids), HOT_BUCKET_CAP)
+    ai, bj = np.triu_indices(head, k=1)
+    keep = newf[ai] | newf[bj]
+    a_out = uids[ai[keep]]
+    b_out = uids[bj[keep]]
+    if len(uids) > HOT_BUCKET_CAP:
+        over = np.arange(HOT_BUCKET_CAP, len(uids))[newf[HOT_BUCKET_CAP:]]
+        if len(over):
+            a_out = np.concatenate([a_out, np.full(len(over), uids[0])])
+            b_out = np.concatenate([b_out, uids[over]])
+    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                     "doc_b": pa.array(b_out, pa.int64())})
+
+
 def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
                                   bands: int = 16, rows: int = 8,
                                   threshold: float = 0.5,
                                   concurrency=None,
-                                  num_partitions: int = 16):
+                                  num_partitions: int | None = None,
+                                  band_exchange: str = "auto",
+                                  auto_signatures_max_docs: int = 1_000_000):
     """Near-dup pairs (doc_a, doc_b, jaccard_est_milli) involving at
     least one NEW document: new-vs-index and new-vs-new; never
     index-vs-index.
 
+    ``band_exchange`` follows dedup.minhash_lsh_pairs's cost gate:
+
+    * ``"auto"`` — counts (index rows are parquet-metadata-fast, the
+      new shard costs one ds.count()): up to
+      ``auto_signatures_max_docs`` total uses ``"signatures"``, above
+      it ``"ids"``.
+    * ``"signatures"`` — band rows carry signatures, in-bucket verify;
+      one shuffle.
+    * ``"ids"`` — band rows carry (band_key, doc_id, is_new) only
+      (~1000x narrower exchange); candidates are verified by the main
+      path's two bucketed co-group attaches, with the new shard's
+      signatures materialized block-level and the index signatures
+      streamed from parquet.
+
     Partitioning assumption: one band-key shuffle partition holds
-    ~(index+new) x bands / num_partitions signature rows — size
-    ``num_partitions`` ≈ total band rows / 1M at corpus scale (the
-    default 16 fits single-node corpora); band rows carry signatures,
-    so an extreme index side would use an ids-style exchange like
-    dedup.minhash_lsh_pairs(band_exchange="ids")."""
-    from ..sources.io import read_parquet_clean
+    ~(index+new) x bands / num_partitions band rows; auto sizes
+    num_partitions from the total doc count like the main path."""
+    from ..sources.io import list_input_files, read_parquet_clean
     from ..state.sizing import default_pool_size
     params = read_index_params(index_dir)
     if bands * rows > params["num_perm"]:
         raise ValueError(
             f"bands*rows = {bands * rows} exceeds index num_perm "
             f"{params['num_perm']}")
+    if band_exchange not in ("auto", "signatures", "ids"):
+        raise ValueError(f"unknown band_exchange: {band_exchange}")
+    idx_files = list_input_files(index_dir)   # skips the _params sidecar
+    idx_sigs_plain = read_parquet_clean(
+        idx_files, columns=["doc_id", "signature"])
+    if band_exchange == "auto" or num_partitions is None:
+        # index rows from parquet FOOTERS (no read tasks); the new
+        # shard costs one ds.count() — skipped when the index alone
+        # already exceeds the ceiling
+        import pyarrow.parquet as pq
+        n_total = sum(pq.ParquetFile(f).metadata.num_rows
+                      for f in idx_files)
+        if n_total <= auto_signatures_max_docs or num_partitions is None:
+            n_total += new_ds.count()
+        if band_exchange == "auto":
+            band_exchange = ("signatures"
+                             if n_total <= auto_signatures_max_docs
+                             else "ids")
+        if num_partitions is None:
+            num_partitions = max(8, min(65536, -(-n_total // 10_000)))
     if concurrency is None:
         concurrency = (2, default_pool_size())
-    new_sigs = new_ds.map_batches(
+    new_sigs_plain = new_ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": params["num_perm"],
                                "shingle_words": params["shingle_words"],
                                "seed": params["seed"]},
-        batch_format="pyarrow", concurrency=concurrency).map_batches(
+        batch_format="pyarrow", concurrency=concurrency)
+    carry = band_exchange == "signatures"
+    if not carry:
+        # ids plan consumes the new signatures twice (band rows +
+        # verify); materialize block-level so the actor pool runs once
+        new_sigs_plain = new_sigs_plain.materialize()
+    new_sigs = new_sigs_plain.map_batches(
         functools.partial(_flag_rows, is_new=1), batch_format="pyarrow")
-    from ..sources.io import list_input_files
-    idx_files = list_input_files(index_dir)   # skips the _params sidecar
-    idx_sigs = read_parquet_clean(
-        idx_files, columns=["doc_id", "signature"]).map_batches(
+    idx_sigs = idx_sigs_plain.map_batches(
         functools.partial(_flag_rows, is_new=0), batch_format="pyarrow")
 
     def bands_with_flag(batch: pa.Table) -> pa.Table:
         flags = batch.column("is_new")
         rows_t = lsh_bands(batch.drop_columns(["is_new"]),
-                           bands=bands, rows=rows, carry_signature=True)
+                           bands=bands, rows=rows, carry_signature=carry)
         # lsh_bands emits ``bands`` rows per input row, in input order
         rep = np.repeat(flags.to_numpy(zero_copy_only=False), bands)
         return rows_t.append_column("is_new",
@@ -197,9 +278,35 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
 
     bandrows = new_sigs.union(idx_sigs).map_batches(
         bands_with_flag, batch_format="pyarrow")
-    pairs = bandrows.groupby(
+    if carry:
+        pairs = bandrows.groupby(
+            "band_key", num_partitions=num_partitions).map_groups(
+            functools.partial(bucket_candidate_pairs_incremental,
+                              threshold=threshold),
+            batch_format="pyarrow")
+        return _distinct_pairs(pairs, ("jaccard_est_milli",))
+
+    # ids plan: narrow candidate generation + the main path's
+    # co-group verification (dedup.py:595-627) over new ∪ index sigs
+    cand = bandrows.groupby(
         "band_key", num_partitions=num_partitions).map_groups(
-        functools.partial(bucket_candidate_pairs_incremental,
-                          threshold=threshold),
+        bucket_candidate_ids_incremental, batch_format="pyarrow")
+    all_sigs = new_sigs_plain.union(idx_sigs_plain)
+    sig_rows = all_sigs.map_batches(
+        functools.partial(_cogroup_sig_rows, num_buckets=num_partitions),
         batch_format="pyarrow")
-    return _distinct_pairs(pairs, ("jaccard_est_milli",))
+    pair_rows = cand.map_batches(
+        functools.partial(_cogroup_pair_rows_a,
+                          num_buckets=num_partitions,
+                          sig_width=params["num_perm"] * 8),
+        batch_format="pyarrow")
+    with_a = sig_rows.union(pair_rows).groupby(
+        "bucket", num_partitions=num_partitions).map_groups(
+        _attach_a_group, batch_format="pyarrow")
+    stage2 = with_a.map_batches(
+        functools.partial(_rekey_by_other, num_buckets=num_partitions),
+        batch_format="pyarrow")
+    return sig_rows.union(stage2).groupby(
+        "bucket", num_partitions=num_partitions).map_groups(
+        functools.partial(_attach_b_group, threshold=threshold),
+        batch_format="pyarrow")

@@ -128,6 +128,56 @@ def test_multi_increment_index_growth(ray_session, tmp_path):
     assert all(b >= 300 for _, b in got3)
 
 
+def test_incremental_band_exchange_modes_agree(ray_session, tmp_path):
+    """The narrow ids exchange (band rows = band_key/doc_id/is_new,
+    co-group verify) must produce the exact same pair set as the
+    signatures exchange (in-bucket verify) — same guarantee the main
+    path pins in test_dedup.test_minhash_band_exchange_modes_agree."""
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+
+    idx = str(tmp_path / "sigidx_modes")
+    write_signature_index(_mk_corpus(BASE), idx, concurrency=2)
+    new_texts = [BASE[3], BASE[11],
+                 "entirely new duplicated payload shared by two docs y",
+                 "entirely new duplicated payload shared by two docs y",
+                 "one more unique new document unlike all the others",
+                 BASE[3]]                    # second dup of the same base
+    results = {}
+    for mode in ("signatures", "ids"):
+        df = minhash_lsh_pairs_incremental(
+            _mk_corpus(new_texts, start_id=100), idx, threshold=0.8,
+            concurrency=2, num_partitions=4,
+            band_exchange=mode).to_pandas()
+        results[mode] = {tuple(r) for r in df[
+            ["doc_a", "doc_b", "jaccard_est_milli"]].itertuples(
+            index=False)}
+    assert results["ids"] == results["signatures"]
+    assert (3, 100, 1000) in results["ids"]
+    assert not any(a < 100 and b < 100 for a, b, _ in results["ids"])
+
+
+def test_incremental_auto_gate_picks_ids_above_ceiling(ray_session,
+                                                       tmp_path):
+    """auto band_exchange flips to the narrow ids plan when
+    index+new exceeds the ceiling (here forced to 10 docs)."""
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+
+    idx = str(tmp_path / "sigidx_gate")
+    write_signature_index(_mk_corpus(BASE), idx, concurrency=2)
+    df = minhash_lsh_pairs_incremental(
+        _mk_corpus([BASE[2], "fresh unique text qq"], start_id=100),
+        idx, threshold=0.8, concurrency=2,
+        auto_signatures_max_docs=10).to_pandas()
+    got = {tuple(r) for r in df[["doc_a", "doc_b"]].itertuples(
+        index=False)}
+    assert (2, 100) in got
+    assert all(b >= 100 for _, b in got)
+
+
 def test_append_requires_existing_index(ray_session, tmp_path):
     import pytest
 
