@@ -442,6 +442,22 @@ def _q_ann_topk_ivf(sf_dir: str):
                         n_probe=16)
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact kNN graph: every embedding row gets its 5 nearest
+    neighbors by (-cosine, neighbor_id) — the broadcast exactness
+    baseline (zero shuffle); the bucketed scale path is
+    knn_graph_lsh, recall-tested in tests/test_similarity.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from gumbo_pp_ray.stages.similarity import knn_graph
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    corpus = {"ids": t.column("vec_id").to_pylist(),
+              "matrix": np.asarray(t.column("embedding").to_pylist(),
+                                   dtype=np.float64)}
+    return knn_graph(_emb(sf_dir), corpus, k=5)
+
+
 def _q_emb_neardup(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1114,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_all": _q_simhash_all,          # rows-only (bit sketch)
         "word_jaccard": _q_word_jaccard,
         "ann_topk": _q_ann_topk,
+        "knn_graph": _q_knn_graph,
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,  # rows-only (approximate)
         "emb_neardup_clusters": _q_emb_neardup_clusters,  # rows-only
@@ -1310,6 +1327,22 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cos DESC, neighbor_id) AS rank
               FROM s)
             WHERE rank <= 10
+        """,
+        "knn_graph": """
+            WITH s AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS cos
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id <> b.vec_id)
+            SELECT vec_id, neighbor_id, rank FROM (
+              SELECT vec_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 5
         """,
         # degenerate full-probe configs are EXACT -> same oracle as
         # the brute-force path (see _q_ann_topk_lsh/_q_ann_topk_ivf)

@@ -391,6 +391,114 @@ def ann_topk_ivf(ds, queries: dict, *, dim: int, k: int = 10,
         _topk_reduce_factory(k, exclude_self), batch_format="pyarrow")
 
 
+# ------------------------------------------------------- kNN graph
+
+def _row_topk_table(sims: np.ndarray, row_ids: np.ndarray,
+                    col_ids: np.ndarray, k: int) -> pa.Table:
+    """Per-row top-k of a similarity block with deterministic
+    (-cosine, neighbor_id) ordering; self matches must already be
+    masked to -inf.  Vectorized: one argpartition + one lexsort over
+    the k candidates per row, no Python loop."""
+    k = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+    if k <= 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    rows = np.arange(sims.shape[0])[:, None]
+    cand_sims = sims[rows, part]
+    cand_ids = col_ids[part]
+    order = np.lexsort((cand_ids, -cand_sims), axis=1)
+    nid = np.take_along_axis(cand_ids, order, axis=1)
+    return pa.table({
+        "vec_id": pa.array(np.repeat(row_ids, k), pa.int64()),
+        "neighbor_id": pa.array(nid.ravel(), pa.int64()),
+        "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64),
+                                 sims.shape[0])),
+    })
+
+
+class KnnGraphScore:
+    """Per-batch exact kNN against the broadcast corpus matrix:
+    one (B x d) @ (d x N) matmul, per-row top-k — a pure map, zero
+    shuffle (each row sees the FULL corpus, so no cross-batch reduce
+    is needed, unlike BruteForceTopK whose queries are scored per
+    corpus batch)."""
+
+    def __init__(self, corpus_ref, k: int):
+        c = Broadcast.get(corpus_ref)           # once per actor
+        self.ids = np.asarray(c["ids"], dtype=np.int64)
+        self.m = c["matrix"]                    # already normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(batch))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = vecs @ self.m.T                  # (B, N)
+        sims[ids[:, None] == self.ids[None, :]] = -np.inf
+        return _row_topk_table(sims, ids, self.ids, self.k)
+
+
+def knn_graph(ds, corpus: dict, *, k: int = 5, concurrency=None):
+    """Exact k-nearest-neighbor graph (every corpus vector is a
+    query): Dataset(vec_id, embedding) + broadcast {"ids", "matrix"}
+    → (vec_id, neighbor_id, rank), rank 1..k by (-cosine,
+    neighbor_id).
+
+    The EXACTNESS BASELINE, same contract as NearDupPairs: the corpus
+    matrix is broadcast once (``ray.put``, read per actor in
+    ``__init__``) and each batch does one matmul — O(N x B x d) total
+    work, corpus matrix must fit in a worker heap (~10M x 64 float64 ≈
+    5 GB).  Past that, use ``knn_graph_lsh`` — bucketed, no broadcast,
+    approximate."""
+    import ray
+    from ..state.sizing import default_pool_size
+    if concurrency is None:
+        concurrency = default_pool_size()
+    payload = {"ids": np.asarray(corpus["ids"], dtype=np.int64),
+               "matrix": _normalize(np.asarray(corpus["matrix"]))}
+    ref = ray.put(payload)
+    return ds.map_batches(
+        KnnGraphScore,
+        fn_constructor_kwargs={"corpus_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+
+
+def _bucket_knn_group(group: pa.Table, *, k: int) -> pa.Table:
+    """One hyperplane bucket: exact within-bucket per-row top-k
+    (single matmul).  Rows in singleton buckets emit nothing."""
+    ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+    if len(ids) < 2:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    m = _normalize(_batch_matrix(group))
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    return _row_topk_table(sims, ids, ids, k)
+
+
+def knn_graph_lsh(ds, *, dim: int, k: int = 5, n_planes: int = 8,
+                  seed: int = 42, num_partitions: int | None = None):
+    """SCALE path for the kNN graph: hyperplane sign buckets → ONE
+    groupby(bucket) → exact per-row top-k within each bucket.  No
+    broadcast corpus, no all-pairs — quadratic work is bounded per
+    bucket (2^n_planes cells).  Approximate: neighbors in other
+    buckets are missed (``n_planes=0`` ⇒ one bucket ⇒ exact — the
+    degenerate-config equivalence pinned in tests; recall at real
+    configs measured there too).  Same output schema as knn_graph."""
+    import functools
+    bucketed = ds.map_batches(
+        functools.partial(lsh_bucket_stage, dim=dim, n_planes=n_planes,
+                          seed=seed),
+        batch_format="pyarrow", batch_size=4096)
+    gb = (bucketed.groupby("bucket", num_partitions=num_partitions)
+          if num_partitions else bucketed.groupby("bucket"))
+    return gb.map_groups(
+        functools.partial(_bucket_knn_group, k=k),
+        batch_format="pyarrow")
+
+
 def _bucket_pairs_group(group: pa.Table, *, threshold: float
                         ) -> pa.Table:
     """One hyperplane bucket: exact pairwise cosine within the bucket

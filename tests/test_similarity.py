@@ -240,3 +240,75 @@ def test_ivf_default_does_not_materialize_corpus(ray_session,
     similarity.train_coarse_centroids(ds, dim=dim, n_clusters=4,
                                       max_train_vectors=100)
     assert pulled["n"] < n / 2
+
+
+def _numpy_knn_graph(m, k):
+    mm = m.astype(np.float64)
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for i in range(len(mm)):
+        order = np.lexsort((np.arange(sims.shape[1]), -sims[i]))[:k]
+        out[i] = list(order)
+    return out
+
+
+def test_knn_graph_matches_numpy(ray_session, emb_table):
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import knn_graph
+
+    table, m = emb_table
+    corpus = {"ids": np.arange(len(m)), "matrix": m}
+    ds = ray.data.from_arrow(table)
+    rows = knn_graph(ds, corpus, k=5, concurrency=2).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    expected = _numpy_knn_graph(m, 5)
+    assert len(got) == len(m)
+    for vid, exp in expected.items():
+        assert [n for _rk, n in sorted(got[vid])] == exp, vid
+
+
+def test_knn_graph_lsh_degenerate_equals_exact(ray_session, emb_table):
+    """n_planes=0 puts every vector in one bucket — the bucketed
+    machinery (bucket stage, groupby, in-bucket top-k) must then
+    reproduce the exact graph (degenerate-config equivalence, same
+    trick as ann_topk_lsh's full-probe query)."""
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import knn_graph, knn_graph_lsh
+
+    table, m = emb_table
+    corpus = {"ids": np.arange(len(m)), "matrix": m}
+    ds = ray.data.from_arrow(table)
+    exact = {(r["vec_id"], r["neighbor_id"], r["rank"])
+             for r in knn_graph(ds, corpus, k=5, concurrency=2).take_all()}
+    lsh = {(r["vec_id"], r["neighbor_id"], r["rank"])
+           for r in knn_graph_lsh(ds, dim=m.shape[1], k=5,
+                                  n_planes=0).take_all()}
+    assert lsh == exact
+
+
+def test_knn_graph_lsh_recall_on_clustered_data(ray_session):
+    import ray.data
+    from gumbo_pp_ray.stages.similarity import knn_graph, knn_graph_lsh
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((30, 32))
+    pts = np.vstack([c + 0.12 * rng.standard_normal((8, 32))
+                     for c in centers]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in pts],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    corpus = {"ids": np.arange(len(pts)), "matrix": pts}
+    exact = {(r["vec_id"], r["neighbor_id"])
+             for r in knn_graph(ds, corpus, k=3, concurrency=2).take_all()}
+    approx = {(r["vec_id"], r["neighbor_id"])
+              for r in knn_graph_lsh(ds, dim=32, k=3,
+                                     n_planes=4).take_all()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.6, recall
