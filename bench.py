@@ -266,6 +266,18 @@ def _vs_prev(line: dict) -> dict | None:
         out["query_speedup_canary_norm"] = {
             k: round(v * scale, 3)
             for k, v in out["query_speedup"].items()}
+    # all-core canary (round 4+): the better normalizer for parallel
+    # pipeline walls — this host's throttle is load-dependent, so the
+    # single-core canary can read healthy while 32-core throughput is
+    # down ~30% (see BASELINE.md round 4)
+    a_prev = (prev.get("cpu_canary_allcore") or {}).get("miters_per_sec")
+    a_now = (line.get("cpu_canary_allcore") or {}).get("miters_per_sec")
+    if a_prev and a_now:
+        ascale = a_prev / a_now
+        out["allcore_ratio_now_vs_prev"] = round(a_now / a_prev, 3)
+        out["query_speedup_allcore_norm"] = {
+            k: round(v * ascale, 3)
+            for k, v in out["query_speedup"].items()}
     return out
 
 
@@ -288,6 +300,50 @@ def cpu_canary() -> float:
     for _ in range(n):
         list(extract_spans(parse(page), DEFAULT_PROFILE))
     return round(n / (time.perf_counter() - t0), 1)
+
+
+def cpu_canary_allcore() -> dict:
+    """All-core machine-speed control: NUM_CPUS spin processes for
+    ~3 s, reporting aggregate Miter/s plus the steal%% read from
+    /proc/stat DURING the burst.  Needed because this host's throttle
+    is load-dependent (round 4 measured single-core canary at its
+    best-ever while 32-core throughput ran ~0.7x with 6-13%% steal
+    under load) — the single-core canary alone cannot normalize
+    multi-core pipeline walls."""
+    import multiprocessing as mp
+
+    def spin(q):
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < 3:
+            for _ in range(100000):
+                n += 1
+        q.put(n)
+
+    def stat():
+        try:
+            return [int(x) for x in
+                    open("/proc/stat").readline().split()[1:]]
+        except OSError:
+            return None
+
+    s0 = stat()
+    q = mp.Queue()
+    ps = [mp.Process(target=spin, args=(q,)) for _ in range(NUM_CPUS)]
+    for p in ps:
+        p.start()
+    total = 0
+    for _ in ps:
+        total += q.get()
+    for p in ps:
+        p.join()
+    s1 = stat()
+    out = {"miters_per_sec": round(total / 3 / 1e6, 1)}
+    if s0 and s1:
+        d = [b - a for a, b in zip(s0, s1)]
+        tot = sum(d) or 1
+        out["steal_pct_under_load"] = round(100 * d[7] / tot, 1)
+    return out
 
 
 def run_all() -> dict:
@@ -315,6 +371,7 @@ def run_all() -> dict:
         "docs_per_sec": round(headline["docs_per_sec"], 1),
         "cpu_canary_docs_per_sec": cpu_canary(),
     }
+    line["cpu_canary_allcore"] = cpu_canary_allcore()
     vs = _vs_prev(line)
     if vs is not None:
         line["vs_prev"] = vs    # >1.0 = faster than the prior round
