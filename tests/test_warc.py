@@ -1,0 +1,113 @@
+"""WARC reader tests: pure-bytes parser round-trip, gzip members,
+corruption quarantine + resync, and the Ray read → extract path."""
+
+import gzip
+import io
+
+import pytest
+
+from gumbo_pp_ray.sources.warc import (
+    build_warc, iter_warc_records, read_warc,
+)
+
+RECORDS = [
+    {"url": "http://a.test/page1",
+     "html": "<html><body><p>alpha text</p></body></html>"},
+    {"url": "http://a.test/robots", "warc_type": "request",
+     "html": "GET /"},
+    {"url": "http://a.test/page2", "status": 404,
+     "html": "<html><body>not found</body></html>"},
+    {"url": "http://a.test/page3", "charset": "iso-8859-1",
+     "html": "<html><body><p>café</p></body></html>"},
+    {"url": "http://a.test/data.json", "mime": "application/json",
+     "html": '{"k": 1}'},
+]
+
+
+def test_round_trip_plain():
+    rows = list(iter_warc_records(build_warc(RECORDS), source="f"))
+    # request record skipped; 4 responses survive
+    assert [r["url"] for r in rows] == [
+        "http://a.test/page1", "http://a.test/page2",
+        "http://a.test/page3", "http://a.test/data.json"]
+    assert [r["status"] for r in rows] == [200, 404, 200, 200]
+    assert rows[0]["mime"] == "text/html"
+    assert "alpha text" in rows[0]["html"]
+    assert "café" in rows[2]["html"]     # latin-1 decoded
+    assert all(r["error"] is None for r in rows)
+    assert all(r["warc_file"] == "f" for r in rows)
+
+
+def test_round_trip_gzip_members():
+    plain = list(iter_warc_records(build_warc(RECORDS)))
+    gz = list(iter_warc_records(build_warc(RECORDS,
+                                           gzip_members=True)))
+    assert [(r["url"], r["status"], r["html"]) for r in gz] == \
+           [(r["url"], r["status"], r["html"]) for r in plain]
+
+
+def test_corrupt_record_quarantined_and_resynced():
+    good = build_warc([RECORDS[0]])
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://bad.test/\r\n"
+           b"Content-Length: nope\r\n\r\njunk")
+    tail = build_warc([RECORDS[2]])
+    rows = list(iter_warc_records(good + bad + b"\r\n\r\n" + tail))
+    errors = [r for r in rows if r["error"]]
+    ok = [r for r in rows if not r["error"]]
+    assert len(errors) == 1
+    assert errors[0]["error"] == "bad-content-length"
+    assert errors[0]["url"] == "http://bad.test/"
+    # the record AFTER the corruption still parses
+    assert [r["url"] for r in ok] == ["http://a.test/page1",
+                                     "http://a.test/page2"]
+
+
+def test_truncated_payload_reported():
+    blob = build_warc([RECORDS[0]])[:-30]
+    rows = list(iter_warc_records(blob))
+    assert rows and rows[-1]["error"] == "truncated-payload"
+
+
+def test_read_warc_to_extract(ray_session, tmp_path):
+    """Archives on disk → read_warc → the HTML kernel, end to end."""
+    (tmp_path / "shard-00.warc.gz").write_bytes(
+        build_warc(RECORDS, gzip_members=True))
+    (tmp_path / "shard-01.warc").write_bytes(build_warc([
+        {"url": "http://b.test/x",
+         "html": "<html><body><p>beta words</p></body></html>"}]))
+
+    ds = read_warc(str(tmp_path))
+    rows = ds.take_all()
+    # html_only: 200 text/html rows only (no 404, json, request)
+    assert sorted(r["url"] for r in rows) == [
+        "http://a.test/page1", "http://a.test/page3",
+        "http://b.test/x"]
+    assert all(r["error"] is None for r in rows)
+
+    import pyarrow as pa
+    from gumbo_pp_ray.html import parse
+    from gumbo_pp_ray.html.extract import DEFAULT_PROFILE, extract_spans
+
+    def extract(batch: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for url, html in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            spans = list(extract_spans(parse(html), DEFAULT_PROFILE))
+            urls.append(url)
+            texts.append(" ".join(s[1] for s in spans))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    out = {r["url"]: r["text"]
+           for r in ds.map_batches(extract,
+                                   batch_format="pyarrow").take_all()}
+    assert "alpha text" in out["http://a.test/page1"]
+    assert "beta words" in out["http://b.test/x"]
+
+
+def test_read_warc_all_responses(ray_session, tmp_path):
+    (tmp_path / "s.warc").write_bytes(build_warc(RECORDS))
+    rows = read_warc(str(tmp_path), html_only=False).take_all()
+    assert len(rows) == 4                  # every response record
+    assert {r["status"] for r in rows} == {200, 404}
