@@ -194,6 +194,35 @@ def read_warc(paths, *, html_only: bool = True,
                              batch_size=1)    # one archive per batch
 
 
+def warc_to_interleaved(batch) -> "pa.Table":
+    """map_batches adapter: ``read_warc`` rows → the engine's
+    interleaved input shape (doc_id:string, spans list<struct>) with
+    ONE raw-HTML span per page, so WARC archives feed
+    ``extract_dataset`` / the flagship pipeline unchanged::
+
+        read_warc(archives).map_batches(warc_to_interleaved,
+                                        batch_format="pyarrow")
+          |> extract_dataset |> write_parquet
+
+    ``doc_id`` is the target URI (the stable key of a crawl).  Error
+    rows (html is null) are dropped here — they are already
+    quarantined in the ``read_warc`` output; keep that dataset if you
+    need them."""
+    import pyarrow as pa
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    ids, spans = [], []
+    for url, html in zip(urls, htmls):
+        if html is None:
+            continue
+        ids.append(url)
+        spans.append([{"kind": "text", "text": html,
+                       "media_ref": "", "offset": 0}])
+    from ..pipelines.wrap import SPANS_TYPE
+    return pa.table({"doc_id": pa.array(ids, pa.string()),
+                     "spans": pa.array(spans, SPANS_TYPE)})
+
+
 # ------------------------------------------------------ test builder
 
 def build_warc(records, *, gzip_members: bool = False) -> bytes:

@@ -111,3 +111,32 @@ def test_read_warc_all_responses(ray_session, tmp_path):
     rows = read_warc(str(tmp_path), html_only=False).take_all()
     assert len(rows) == 4                  # every response record
     assert {r["status"] for r in rows} == {200, 404}
+
+
+def test_warc_feeds_flagship_pipeline(ray_session, tmp_path):
+    """read_warc → warc_to_interleaved → extract_dataset: the full
+    archive-to-content-spans path on real Ray, including the
+    extractor's own quarantine for a binary-garbage page."""
+    from gumbo_pp_ray.pipelines.extract_pipeline import extract_dataset
+    from gumbo_pp_ray.sources.warc import warc_to_interleaved
+
+    (tmp_path / "s.warc.gz").write_bytes(build_warc([
+        {"url": "http://c.test/good",
+         "html": "<html><body><nav>skip</nav><h1>Title</h1>"
+                 "<p>body words</p></body></html>"},
+        {"url": "http://c.test/garbage",
+         "html": "\x00\x01�<<<>>>"},
+    ], gzip_members=True))
+
+    ds = read_warc(str(tmp_path)).map_batches(
+        warc_to_interleaved, batch_format="pyarrow")
+    out = {r["doc_id"]: r for r in extract_dataset(
+        ds, split_threshold=None).take_all()}
+    assert set(out) == {"http://c.test/good", "http://c.test/garbage"}
+    good = out["http://c.test/good"]
+    texts = [s["text"] for s in good["spans"]]
+    assert any("body words" in t for t in texts)
+    assert not any("skip" in t for t in texts)      # nav stripped
+    assert good["status"] == "ok"
+    # garbage page: quarantined row, never a crashed batch
+    assert out["http://c.test/garbage"]["status"] in ("ok", "error")
