@@ -141,6 +141,11 @@ def run_extraction(
 ) -> dict:
     """Checkpoint-resumable extraction job. Returns run summary.
 
+    ``input_path`` may hold interleaved parquet/lance shards OR raw
+    WARC archives (``.warc``/``.warc.gz`` — detected when no
+    parquet/lance shards exist); archives stream through
+    ``sources.warc`` and the resume unit is the archive.
+
     ``output_format="lance"`` writes each wave as a Lance dataset
     (the north rule's storage target) when the ``lance`` wheel is
     importable — raises ImportError otherwise (this sandbox ships no
@@ -158,7 +163,16 @@ def run_extraction(
         from ..state.sizing import default_pool_size
         n = default_pool_size()
         concurrency = (min(8, n), n)
+    # input kind by shard extension: interleaved parquet/lance tables,
+    # or raw WARC archives (Common Crawl shape) — WARC waves read the
+    # archives and bridge through warc_to_interleaved, so the resume
+    # unit is the ARCHIVE either way
     files = list_input_files(input_path)
+    warc_input = False
+    if not files:
+        files = list_input_files(input_path,
+                                 exts=(".warc", ".warc.gz"))
+        warc_input = bool(files)
     if not files:
         raise FileNotFoundError(f"no input shards under {input_path}")
     waves = [files[i:i + files_per_wave]
@@ -188,7 +202,12 @@ def run_extraction(
             # non-empty directory raises and would wedge resume).
             shutil_rmtree(final_dir)
         t0 = time.perf_counter()
-        ds = read_interleaved(wave_files)
+        if warc_input:
+            from ..sources.warc import read_warc, warc_to_interleaved
+            ds = read_warc(wave_files).map_batches(
+                warc_to_interleaved, batch_format="pyarrow")
+        else:
+            ds = read_interleaved(wave_files)
         out = extract_dataset(ds, profile=profile,
                               split_threshold=split_threshold,
                               concurrency=concurrency,

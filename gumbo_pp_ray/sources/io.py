@@ -25,14 +25,15 @@ except ImportError:
     _HAVE_LANCE = False
 
 
-def list_input_files(path: str) -> list[str]:
+def list_input_files(path: str,
+                     exts: tuple = (".parquet", ".lance")) -> list[str]:
     """Deterministic (sorted) list of input shards — the resume unit."""
     if os.path.isfile(path):
         return [path]
     out = []
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith((".parquet", ".lance")):
+            if f.endswith(exts):
                 out.append(os.path.join(root, f))
     return sorted(out)
 

@@ -140,3 +140,38 @@ def test_warc_feeds_flagship_pipeline(ray_session, tmp_path):
     assert good["status"] == "ok"
     # garbage page: quarantined row, never a crashed batch
     assert out["http://c.test/garbage"]["status"] in ("ok", "error")
+
+
+def test_run_extraction_over_warc_archives(ray_session, tmp_path):
+    """run_extraction pointed at a directory of WARC archives:
+    wave-committed parquet out, and a rerun skips committed waves
+    (resume unit = archive)."""
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    for shard in range(3):
+        recs = [{"url": f"http://w{shard}.test/p{i}",
+                 "html": f"<html><body><p>s{shard} d{i} words</p>"
+                         "</body></html>"}
+                for i in range(4)]
+        (src / f"shard-{shard:02d}.warc.gz").write_bytes(
+            build_warc(recs, gzip_members=True))
+
+    out = tmp_path / "out"
+    s1 = run_extraction(str(src), str(out), files_per_wave=2,
+                        concurrency=2)
+    assert s1["docs"] == 12 and s1["errors"] == 0
+    assert s1["waves_run"] == 2 and s1["waves_skipped"] == 0
+
+    s2 = run_extraction(str(src), str(out), files_per_wave=2,
+                        concurrency=2)
+    assert s2["waves_skipped"] == 2 and s2["waves_run"] == 0
+    assert s2["docs"] == 12
+
+    import pyarrow.parquet as pq
+    from gumbo_pp_ray.sources.io import list_output_files
+    t = pq.read_table(list_output_files(str(out)))
+    assert t.num_rows == 12
+    assert sorted(t.column("doc_id").to_pylist())[0] == \
+        "http://w0.test/p0"
