@@ -175,3 +175,29 @@ def test_run_extraction_over_warc_archives(ray_session, tmp_path):
     assert t.num_rows == 12
     assert sorted(t.column("doc_id").to_pylist())[0] == \
         "http://w0.test/p0"
+
+
+def test_warc_round_trip_property():
+    """Property: build_warc → iter_warc_records is lossless for any
+    record content, including HTML that embeds WARC magic, CRLF
+    pairs, and high unicode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=400)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=5), st.integers(0, 4))
+    def check(bodies, gz):
+        recs = [{"url": f"http://p.test/{i}", "html": b}
+                for i, b in enumerate(bodies)]
+        blob = build_warc(recs, gzip_members=bool(gz % 2))
+        rows = list(iter_warc_records(blob))
+        assert [r["url"] for r in rows] == \
+            [r["url"] for r in recs]
+        assert [r["html"] for r in rows] == bodies
+        assert all(r["error"] is None for r in rows)
+
+    check()
