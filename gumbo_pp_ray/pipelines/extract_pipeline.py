@@ -112,8 +112,8 @@ def extract_dataset(
             batch_format="pyarrow")
         ds = ds.groupby("rb", num_partitions=num_buckets).map_groups(
             reassemble_bucket, batch_format="pyarrow")
-    else:
-        ds = ds.drop_columns(["chunk_id", "n_chunks"])
+    # map topology: ExtractSpans already emitted the final schema (no
+    # chunk columns), so the actor pool is the last operator
     return ds
 
 

@@ -30,6 +30,9 @@ SPANS_TYPE = pa.list_(pa.struct([
     ("offset", pa.int32()),
 ]))
 
+# per-chunk schema of the SHUFFLE topology (chunk columns feed the
+# reassembly groupby); the map topology emits this schema minus
+# chunk_id/n_chunks directly
 EXTRACTED_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("chunk_id", pa.int32()),
@@ -79,12 +82,16 @@ class ExtractSpans:
         chunk = self.chunk_spans
         doc_ids = batch.column("doc_id").to_pylist()
         names = batch.schema.names
-        if "chunk_id" in names:
+        # chunk columns pass through only on the shuffle topology
+        # (SplitMegaDocs upstream, reassembly groupby downstream); the
+        # map topology emits the FINAL schema directly so the actor
+        # pool is the last operator — a trailing drop_columns would be
+        # a separate task-pool operator (actor->task ops don't fuse)
+        # costing one extra pass over the full output
+        chunked = "chunk_id" in names
+        if chunked:
             chunk_ids = batch.column("chunk_id").to_pylist()
             n_chunks = batch.column("n_chunks").to_pylist()
-        else:
-            chunk_ids = [0] * len(doc_ids)
-            n_chunks = [1] * len(doc_ids)
 
         col = batch.column("spans")
         if isinstance(col, pa.ChunkedArray):
@@ -195,13 +202,15 @@ class ExtractSpans:
         spans_arr = pa.ListArray.from_arrays(pa.array(list_offsets),
                                              values)
 
-        return pa.table({
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "chunk_id": pa.array(chunk_ids, pa.int32()),
-            "n_chunks": pa.array(n_chunks, pa.int32()),
+        cols = {"doc_id": pa.array(doc_ids, pa.string())}
+        if chunked:
+            cols["chunk_id"] = pa.array(chunk_ids, pa.int32())
+            cols["n_chunks"] = pa.array(n_chunks, pa.int32())
+        cols.update({
             "spans": spans_arr,
             "status": pa.array(statuses, pa.string()),
             "n_parse_errors": pa.array(n_errs, pa.int64()),
             "n_spans": pa.array(n_spans, pa.int64()),
             "n_bytes_in": pa.array(n_bytes, pa.int64()),
         })
+        return pa.table(cols)
