@@ -92,9 +92,12 @@ def bench_extract() -> dict:
     shutil.rmtree(sink, ignore_errors=True)
 
     t0 = time.perf_counter()
-    # blocks sized so each actor sees a few ~1s tasks (measured best)
+    # blocks sized so each actor sees 4-8 sub-second tasks: 64 blocks
+    # over a 24-actor pool quantizes to 2-3 tasks/actor and the
+    # 1-extra-task actors set the critical path (measured round 4:
+    # 128 blocks ~15% faster than 64; 192 ≈ 128)
     ds = ray.data.read_parquet(corpus, columns=["doc_id", "spans"],
-                               override_num_blocks=max(64, 2 * NUM_CPUS))
+                               override_num_blocks=max(128, 4 * NUM_CPUS))
     out = extract_dataset(ds, split_threshold=256, batch_size=None)
     out.write_parquet(sink)
     dt = time.perf_counter() - t0
