@@ -1,0 +1,179 @@
+"""Bigram language-model perplexity scoring — the CCNet-style quality
+filter (public design: Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", LREC 2020): score each
+document by how "language-like" it is under a small n-gram model
+trained on the corpus (or a trusted reference slice), then filter or
+bucket by perplexity.
+
+Distributed shape (both phases bounded, nothing corpus-sized
+anywhere):
+
+* **Training** is two combiner→groupby passes, the same exchange
+  pattern as ``text_analysis.frequent_tokens``: (1) unigram counts,
+  thresholded to a bounded vocabulary; (2) bigram counts RESTRICTED
+  to that vocabulary (out-of-vocab tokens collapse to a single UNK
+  id), thresholded by ``min_count``.  Exchanges are proportional to
+  vocabulary/bigram-type counts, never corpus size; the final model
+  (two count tables + sizes) is pulled to the driver only after both
+  thresholds bound it, then broadcast ONCE via ``ray.put``.
+* **Scoring** is a stateful actor pool: the model is fetched once per
+  actor in ``__init__`` and turned into sorted numpy key/count arrays;
+  each document is scored with vectorized ``np.searchsorted`` lookups
+  — no Python dict probe per token.
+
+Model: add-one-smoothed bigram with UNK folding,
+``p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V+1)``, scored as mean negative
+log2 per transition (``ppl_milli = round(1000 * 2^H)``); integer
+output keeps results exactly comparable across runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.broadcast import Broadcast
+
+UNK = -1                                 # folded out-of-vocab token id
+
+
+def _partial_bigram_counts(batch: pa.Table, *, vocab_ref) -> pa.Table:
+    """Combiner: per-batch bigram counts over the broadcast vocab
+    (out-of-vocab → UNK).  Keys are packed into one int64
+    (id1 * (V+1) + id2 with UNK remapped to V) so the groupby
+    exchanges a single integer column."""
+    from collections import Counter
+    vocab = Broadcast.get(vocab_ref)     # sorted np.ndarray of tokens
+    v = len(vocab)
+    c: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        toks = np.asarray(text.split())
+        if len(toks) < 2:
+            continue
+        if v:
+            idx = np.searchsorted(vocab, toks)
+            idx[idx >= v] = 0
+            ids = np.where(vocab[idx] == toks, idx, v)   # UNK → v
+        else:
+            ids = np.full(len(toks), v, dtype=np.int64)
+        keys = ids[:-1].astype(np.int64) * (v + 1) + ids[1:]
+        c.update(keys.tolist())
+    return pa.table({
+        "bg": pa.array(list(c.keys()), pa.int64()),
+        "partial": pa.array(list(c.values()), pa.int64()),
+    })
+
+
+def train_bigram_lm(ds, *, vocab_min_count: int = 5,
+                    bigram_min_count: int = 2,
+                    max_vocab: int = 1 << 20) -> dict:
+    """Train the bigram model over Dataset(text) → model dict.
+
+    Bounds (all enforced before anything reaches the driver):
+    vocabulary = tokens with count ≥ ``vocab_min_count``, capped at
+    ``max_vocab`` by keeping the highest counts (ties broken by token
+    for determinism); bigrams = vocab-restricted pairs with count ≥
+    ``bigram_min_count``.  Raising the thresholds shrinks the model;
+    the defaults fit a ~1M-type vocabulary in ~100 MB of driver RAM
+    regardless of corpus size."""
+    import ray
+    import ray.data
+    from .text_analysis import _partial_token_counts
+
+    uni = ds.map_batches(_partial_token_counts, batch_format="pyarrow") \
+        .groupby("tok").aggregate(
+            ray.data.aggregate.Sum("partial", alias_name="n")) \
+        .filter(expr=f"n >= {int(vocab_min_count)}")
+    # deterministic cap: highest counts first, token as tiebreak
+    uni_rows = uni.sort(["n", "tok"], descending=[True, False]) \
+        .limit(int(max_vocab)).take_all()
+    vocab = np.sort(np.asarray([r["tok"] for r in uni_rows]))
+    counts_by_tok = {r["tok"]: r["n"] for r in uni_rows}
+    v = len(vocab)
+    # unigram counts aligned to sorted vocab order + UNK tail slot
+    uni_counts = np.zeros(v + 1, dtype=np.int64)
+    for i, t in enumerate(vocab):
+        uni_counts[i] = counts_by_tok[t]
+
+    vocab_ref = ray.put(vocab)
+    import functools
+    bg = ds.map_batches(
+        functools.partial(_partial_bigram_counts, vocab_ref=vocab_ref),
+        batch_format="pyarrow") \
+        .groupby("bg").aggregate(
+            ray.data.aggregate.Sum("partial", alias_name="n")) \
+        .filter(expr=f"n >= {int(bigram_min_count)}")
+    bg_rows = bg.take_all()
+    bg_keys = np.asarray([r["bg"] for r in bg_rows], dtype=np.int64)
+    bg_counts = np.asarray([r["n"] for r in bg_rows], dtype=np.int64)
+    order = np.argsort(bg_keys)
+    # UNK unigram count = total transitions through UNK (sum of its
+    # outgoing bigrams, pre-threshold counts are close enough for a
+    # smoothed denominator; exact would need one more pass)
+    unk_mask = (bg_keys[order] // (v + 1)) == v
+    uni_counts[v] = int(bg_counts[order][unk_mask].sum())
+    return {"vocab": vocab, "uni": uni_counts,
+            "bg_keys": bg_keys[order], "bg_counts": bg_counts[order]}
+
+
+class PerplexityScore:
+    """Actor: (doc_id, text) → (doc_id, ppl_milli, n_transitions).
+    Model fetched once per actor; per-doc scoring is vectorized
+    searchsorted lookups."""
+
+    def __init__(self, model_ref):
+        m = Broadcast.get(model_ref)
+        self.vocab = m["vocab"]
+        self.uni = m["uni"]
+        self.bg_keys = m["bg_keys"]
+        self.bg_counts = m["bg_counts"]
+        self.v = len(self.vocab)
+
+    def _doc_ppl(self, text: str) -> tuple[int, int]:
+        toks = np.asarray(text.split())
+        if len(toks) < 2:
+            return (0, 0)
+        v = self.v
+        if v:
+            idx = np.searchsorted(self.vocab, toks)
+            idx[idx >= v] = 0
+            ids = np.where(self.vocab[idx] == toks, idx, v)
+        else:
+            ids = np.full(len(toks), v, dtype=np.int64)
+        keys = ids[:-1].astype(np.int64) * (v + 1) + ids[1:]
+        if len(self.bg_keys):
+            pos = np.clip(np.searchsorted(self.bg_keys, keys),
+                          0, len(self.bg_keys) - 1)
+            hit = self.bg_keys[pos] == keys
+            num = np.where(hit, self.bg_counts[pos], 0) + 1.0
+        else:
+            num = np.ones(len(keys))
+        den = self.uni[ids[:-1]] + v + 1.0
+        h = float(-np.log2(num / den).mean())
+        return (int(round(1000.0 * 2.0 ** h)), len(keys))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_p, out_n = [], []
+        for text in batch.column("text").to_pylist():
+            p, n = self._doc_ppl(text)
+            out_p.append(p)
+            out_n.append(n)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "ppl_milli": pa.array(out_p, pa.int64()),
+            "n_transitions": pa.array(out_n, pa.int64()),
+        })
+
+
+def perplexity_scores(ds, model: dict, *, concurrency=None):
+    """Dataset(doc_id, text) + trained model → per-doc perplexity
+    (ppl_milli; 0 for docs with <2 tokens)."""
+    import ray
+    from ..state.sizing import default_pool_size
+    if concurrency is None:
+        concurrency = (2, default_pool_size())
+    ref = ray.put(model)
+    return ds.map_batches(
+        PerplexityScore,
+        fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow", concurrency=concurrency)
