@@ -66,16 +66,19 @@ def _partial_bigram_counts(batch: pa.Table, *, vocab_ref) -> pa.Table:
 
 def train_bigram_lm(ds, *, vocab_min_count: int = 5,
                     bigram_min_count: int = 2,
-                    max_vocab: int = 1 << 20) -> dict:
+                    max_vocab: int = 1 << 20,
+                    max_bigrams: int = 1 << 24) -> dict:
     """Train the bigram model over Dataset(text) → model dict.
 
     Bounds (all enforced before anything reaches the driver):
     vocabulary = tokens with count ≥ ``vocab_min_count``, capped at
     ``max_vocab`` by keeping the highest counts (ties broken by token
     for determinism); bigrams = vocab-restricted pairs with count ≥
-    ``bigram_min_count``.  Raising the thresholds shrinks the model;
-    the defaults fit a ~1M-type vocabulary in ~100 MB of driver RAM
-    regardless of corpus size."""
+    ``bigram_min_count``, capped the same way at ``max_bigrams`` —
+    a min-count filter ALONE is not a bound (a 100 TB corpus has
+    billions of above-threshold bigram types).  The defaults fit a
+    ~1M-type vocabulary + 16M bigrams in well under a GB of driver
+    RAM regardless of corpus size."""
     import ray
     import ray.data
     from .text_analysis import _partial_token_counts
@@ -103,7 +106,8 @@ def train_bigram_lm(ds, *, vocab_min_count: int = 5,
         .groupby("bg").aggregate(
             ray.data.aggregate.Sum("partial", alias_name="n")) \
         .filter(expr=f"n >= {int(bigram_min_count)}")
-    bg_rows = bg.take_all()
+    bg_rows = bg.sort(["n", "bg"], descending=[True, False]) \
+        .limit(int(max_bigrams)).take_all()
     bg_keys = np.asarray([r["bg"] for r in bg_rows], dtype=np.int64)
     bg_counts = np.asarray([r["n"] for r in bg_rows], dtype=np.int64)
     order = np.argsort(bg_keys)

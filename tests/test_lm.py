@@ -102,3 +102,15 @@ def test_vocab_cap_is_deterministic(ray_session):
                          max_vocab=5)
     assert len(m1["vocab"]) == 5
     assert list(m1["vocab"]) == list(m2["vocab"])   # order-invariant
+
+
+def test_bigram_cap_bounds_driver_pull(ray_session):
+    from gumbo_pp_ray.stages.lm import train_bigram_lm
+
+    m = train_bigram_lm(_mk_docs(CORPUS), vocab_min_count=1,
+                        bigram_min_count=1, max_bigrams=7)
+    assert len(m["bg_keys"]) == 7
+    m2 = train_bigram_lm(_mk_docs(list(reversed(CORPUS))),
+                         vocab_min_count=1, bigram_min_count=1,
+                         max_bigrams=7)
+    assert list(m["bg_keys"]) == list(m2["bg_keys"])
