@@ -207,7 +207,15 @@ def run_extraction(
             ds = read_warc(wave_files).map_batches(
                 warc_to_interleaved, batch_format="pyarrow")
         else:
-            ds = read_interleaved(wave_files)
+            # split the wave into ≥4 tasks per actor: blocks==files
+            # quantizes to ~1 task/actor and the slowest file sets the
+            # wave's critical path (same finding as the bench read,
+            # measured ~15% there)
+            pool_max = (concurrency if isinstance(concurrency, int)
+                        else concurrency[1])
+            ds = read_interleaved(
+                wave_files,
+                override_num_blocks=max(4 * pool_max, len(wave_files)))
         out = extract_dataset(ds, profile=profile,
                               split_threshold=split_threshold,
                               concurrency=concurrency,
