@@ -85,6 +85,26 @@ def read_interleaved(paths: str | list[str], *,
     return read_parquet_clean(paths, columns=columns, **kw)
 
 
+def read_jsonl(paths: str | list[str], *,
+               columns: list[str] | None = None,
+               **kw) -> "ray.data.Dataset":
+    """JSONL corpus read (plain or ``.jsonl.gz``; compression
+    auto-detected) → Dataset, optionally projected to ``columns``.
+
+    Unlike parquet, JSON cannot prune columns or rows AT THE READ —
+    every byte is parsed before projection, and gzip files are not
+    splittable (parallelism = file count, like WARC). Fine as an
+    ingestion step; for repeated processing convert once to parquet
+    (``read_jsonl(...).write_parquet(...)``) and read that."""
+    ds = ray.data.read_json(
+        paths,
+        arrow_open_stream_args={"compression": "detect"},
+        file_extensions=["json", "jsonl", "gz"], **kw)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def list_output_files(out_dir: str) -> list[str]:
     """Data files of a run_extraction output, excluding the ``_``-
     prefixed sidecars (_lineage, _quarantine, _tmp-*). Filters on the
