@@ -99,7 +99,7 @@ def read_jsonl(paths: str | list[str], *,
     ds = ray.data.read_json(
         paths,
         arrow_open_stream_args={"compression": "detect"},
-        file_extensions=["json", "jsonl", "gz"], **kw)
+        file_extensions=["json", "jsonl", "json.gz", "jsonl.gz"], **kw)
     if columns:
         ds = ds.select_columns(columns)
     return ds

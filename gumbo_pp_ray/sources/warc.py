@@ -32,10 +32,12 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 
 
 _MAGIC = b"WARC/1."
 _CRLF2 = b"\r\n\r\n"
+_CHUNK = 1 << 20                # streaming read granularity (1 MiB)
 
 SCHEMA_COLUMNS = ("warc_file", "record_id", "url", "warc_date",
                   "status", "mime", "html", "n_bytes", "error")
@@ -80,67 +82,210 @@ def _decode_http(payload: bytes) -> tuple[int | None, str, str]:
     return status, mime, text
 
 
-def iter_warc_records(data: bytes, *, source: str = ""):
-    """Yield one dict per WARC record (SCHEMA_COLUMNS keys).
+_MAX_HEADER = 1 << 20     # a WARC header block past 1 MiB is corrupt
+
+
+class _ChainReader:
+    """Non-seekable reader serving a sniffed prefix before the stream
+    (lets the gzip-magic peek work on pipes / object-store streams)."""
+
+    def __init__(self, prefix: bytes, f):
+        self._prefix = prefix
+        self._f = f
+
+    def read(self, n: int = -1) -> bytes:
+        if self._prefix:
+            if n is None or n < 0:
+                out, self._prefix = self._prefix, b""
+                return out + self._f.read()
+            out, self._prefix = self._prefix[:n], self._prefix[n:]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+
+class _GunzipReader:
+    """Incremental multi-member gzip reader built on
+    ``zlib.decompressobj`` instead of ``GzipFile``: on a truncated or
+    bit-flipped stream, ``GzipFile.read`` raises and DISCARDS the data
+    it had already inflated in that call — this reader returns
+    everything recovered first and raises only on the next call, so
+    the record scanner can quarantine the damage instead of losing the
+    archive prefix."""
+
+    def __init__(self, f):
+        self._f = f
+        self._d = zlib.decompressobj(31)       # gzip wrapper + CRC
+        self._comp_eof = False
+        self._error = False
+
+    def read(self, n: int = -1) -> bytes:
+        if self._error:
+            raise zlib.error("corrupt gzip stream")
+        out = bytearray()
+        while n < 0 or len(out) < n:
+            if self._d.eof:                    # member done → next one
+                leftover = self._d.unused_data
+                if not leftover:
+                    if self._comp_eof:
+                        break
+                    leftover = self._f.read(_CHUNK)
+                    if not leftover:
+                        self._comp_eof = True
+                        break
+                self._d = zlib.decompressobj(31)
+                try:
+                    out += self._d.decompress(leftover)
+                except zlib.error:
+                    self._error = True
+                    break
+                continue
+            chunk = self._f.read(_CHUNK)
+            if not chunk:
+                self._comp_eof = True
+                if not self._d.eof:            # truncated mid-member
+                    self._error = True
+                break
+            try:
+                out += self._d.decompress(chunk)
+            except zlib.error:                 # bit-flip / bad CRC
+                self._error = True
+                break
+        if out:
+            return bytes(out)
+        if self._error:
+            raise zlib.error("corrupt gzip stream")
+        return b""
+
+
+class _RecordStream:
+    """Bounded rolling buffer over a byte stream; decompression errors
+    are captured (not raised) so records recovered before the damage
+    still come out."""
+
+    def __init__(self, f):
+        self.f = f
+        self.buf = bytearray()
+        self.eof = False
+        self.error: str | None = None
+        self.peak = 0            # high-water mark (test instrumentation)
+
+    def fill(self, need: int) -> None:
+        while not self.eof and len(self.buf) < need:
+            try:
+                chunk = self.f.read(_CHUNK)
+            except (EOFError, OSError, zlib.error):
+                # truncated / bit-flipped gzip member: keep what was
+                # recovered, surface ONE gzip-corrupt row at the end
+                self.error = "gzip-corrupt"
+                self.eof = True
+                return
+            if not chunk:
+                self.eof = True
+                return
+            self.buf += chunk
+            if len(self.buf) > self.peak:
+                self.peak = len(self.buf)
+
+
+def iter_warc_stream(fileobj, *, source: str = "", _stats: dict | None = None):
+    """Yield one dict per WARC record (SCHEMA_COLUMNS keys) from a
+    binary file-like, **streaming**: the archive is scanned record at a
+    time through a rolling buffer, so peak memory is bounded by the
+    largest single record (+ one read chunk), never the decompressed
+    archive size (a 1 GB Common Crawl member set is ~4-5 GB inflated —
+    holding that per task was the round-4 memory hazard).
 
     Pure-bytes parser: version line, CRLF headers, ``Content-Length``
     payload, ``\\r\\n\\r\\n`` separator.  On any malformed record an
     ``error`` row is yielded and scanning resyncs at the next
-    ``WARC/1.`` magic.  Gzipped input (single- or multi-member) is
-    decompressed first.
+    ``WARC/1.`` magic; a corrupt gzip stream yields the records
+    recovered before the damage plus one final ``gzip-corrupt`` row
+    (never an exception — one bad archive cannot crash a read task).
+    Gzip (single- or multi-member) is sniffed from the magic bytes.
+
+    ``_stats``: optional dict that receives ``peak_buffer`` (test
+    instrumentation for the memory bound).
     """
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-    pos = 0
-    n = len(data)
-    while pos < n:
-        start = data.find(_MAGIC, pos)
-        if start < 0:
-            break
-        head_end = data.find(_CRLF2, start)
-        if head_end < 0:
-            yield {"warc_file": source, "record_id": None, "url": None,
-                   "warc_date": None, "status": None, "mime": None,
-                   "html": None, "n_bytes": 0,
-                   "error": "truncated-header"}
-            break
-        hdrs = _parse_headers(data[start:head_end])
-        try:
-            length = int(hdrs["content-length"])
-            if length < 0:
-                raise ValueError
-        except (KeyError, ValueError):
-            yield {"warc_file": source, "record_id":
-                   hdrs.get("warc-record-id"), "url":
-                   hdrs.get("warc-target-uri"), "warc_date":
-                   hdrs.get("warc-date"), "status": None, "mime": None,
-                   "html": None, "n_bytes": 0,
-                   "error": "bad-content-length"}
-            pos = head_end + len(_CRLF2)   # resync at next magic
-            continue
-        body_start = head_end + len(_CRLF2)
-        payload = data[body_start:body_start + length]
-        pos = body_start + length
-        # spec: two CRLFs close a record; tolerate their absence
-        if data[pos:pos + 4] == _CRLF2:
-            pos += 4
-        if len(payload) < length:
-            yield {"warc_file": source, "record_id":
-                   hdrs.get("warc-record-id"), "url":
-                   hdrs.get("warc-target-uri"), "warc_date":
-                   hdrs.get("warc-date"), "status": None, "mime": None,
-                   "html": None, "n_bytes": len(payload),
-                   "error": "truncated-payload"}
-            break
-        if hdrs.get("warc-type") != "response":
-            continue                       # request/metadata/warcinfo
-        status, mime, text = _decode_http(payload)
-        yield {"warc_file": source,
-               "record_id": hdrs.get("warc-record-id"),
-               "url": hdrs.get("warc-target-uri"),
-               "warc_date": hdrs.get("warc-date"),
-               "status": status, "mime": mime, "html": text,
-               "n_bytes": len(payload), "error": None}
+    head = fileobj.read(2) or b""
+    raw = _ChainReader(head, fileobj)
+    stream = _GunzipReader(raw) if head[:2] == b"\x1f\x8b" else raw
+    rs = _RecordStream(stream)
+    buf = rs.buf
+
+    def err_row(code: str, hdrs: dict | None = None, n_bytes: int = 0):
+        h = hdrs or {}
+        return {"warc_file": source,
+                "record_id": h.get("warc-record-id"),
+                "url": h.get("warc-target-uri"),
+                "warc_date": h.get("warc-date"),
+                "status": None, "mime": None, "html": None,
+                "n_bytes": n_bytes, "error": code}
+
+    try:
+        while True:
+            idx = buf.find(_MAGIC)
+            while idx < 0 and not rs.eof:
+                if len(buf) >= len(_MAGIC):
+                    # keep a magic-length tail for boundary matches
+                    del buf[:len(buf) - (len(_MAGIC) - 1)]
+                rs.fill(len(buf) + _CHUNK)
+                idx = buf.find(_MAGIC)
+            if idx < 0:
+                break
+            del buf[:idx]
+            head_end = buf.find(_CRLF2)
+            while head_end < 0 and not rs.eof and len(buf) <= _MAX_HEADER:
+                rs.fill(len(buf) + _CHUNK)
+                head_end = buf.find(_CRLF2)
+            if head_end < 0:
+                if not rs.eof:              # > _MAX_HEADER: resync past it
+                    yield err_row("oversized-header")
+                    del buf[:len(_MAGIC)]
+                    continue
+                yield err_row("truncated-header")
+                break
+            hdrs = _parse_headers(bytes(buf[:head_end]))
+            try:
+                length = int(hdrs["content-length"])
+                if length < 0:
+                    raise ValueError
+            except (KeyError, ValueError):
+                yield err_row("bad-content-length", hdrs)
+                del buf[:head_end + len(_CRLF2)]   # resync at next magic
+                continue
+            body_start = head_end + len(_CRLF2)
+            rs.fill(body_start + length + len(_CRLF2))
+            payload = bytes(buf[body_start:body_start + length])
+            if len(payload) < length:
+                yield err_row("truncated-payload", hdrs, len(payload))
+                break
+            consumed = body_start + length
+            # spec: two CRLFs close a record; tolerate their absence
+            if bytes(buf[consumed:consumed + len(_CRLF2)]) == _CRLF2:
+                consumed += len(_CRLF2)
+            del buf[:consumed]
+            if hdrs.get("warc-type") != "response":
+                continue                   # request/metadata/warcinfo
+            status, mime, text = _decode_http(payload)
+            yield {"warc_file": source,
+                   "record_id": hdrs.get("warc-record-id"),
+                   "url": hdrs.get("warc-target-uri"),
+                   "warc_date": hdrs.get("warc-date"),
+                   "status": status, "mime": mime, "html": text,
+                   "n_bytes": len(payload), "error": None}
+        if rs.error:
+            yield err_row(rs.error)
+    finally:
+        if _stats is not None:
+            _stats["peak_buffer"] = rs.peak
+
+
+def iter_warc_records(data: bytes, *, source: str = ""):
+    """Bytes-input convenience wrapper over ``iter_warc_stream``
+    (same rows; kept for callers that already hold the archive)."""
+    yield from iter_warc_stream(io.BytesIO(data), source=source)
 
 
 def _records_table(rows: list[dict]):
@@ -161,10 +306,35 @@ def _records_table(rows: list[dict]):
     })
 
 
+def _expand_warc_paths(paths) -> list[str]:
+    import os
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith((".warc", ".warc.gz"))))
+        else:
+            out.append(p)
+    return out
+
+
 def read_warc(paths, *, html_only: bool = True,
-              **read_kwargs) -> "ray.data.Dataset":
+              flush_records: int = 4096,
+              flush_bytes: int = 64 << 20) -> "ray.data.Dataset":
     """WARC archive(s) → Dataset(warc_file, record_id, url, warc_date,
     status, mime, html, n_bytes, error).
+
+    One task per archive (the Common Crawl convention — WARC is only
+    splittable at gzip member boundaries; parallelism = number of
+    archives), but WITHIN a task everything streams: records are
+    scanned straight off the file through ``iter_warc_stream`` (never
+    the whole archive in memory, compressed or decompressed) and
+    emitted as Arrow blocks every ``flush_records`` rows /
+    ``flush_bytes`` of text, so per-task peak memory is
+    max(record size, flush threshold) — independent of archive size.
 
     ``html_only`` keeps 2xx text/html rows plus all error rows (the
     quarantine must survive downstream filters); pass False for every
@@ -172,26 +342,34 @@ def read_warc(paths, *, html_only: bool = True,
     pipeline — html is the raw-bytes-decoded page, exactly what
     ``parse`` expects.
     """
-    import pyarrow as pa
     import ray.data
 
-    def to_records(batch: pa.Table) -> pa.Table:
-        out = []
-        paths_col = batch.column("path").to_pylist()
-        bytes_col = batch.column("bytes").to_pylist()
-        for path, blob in zip(paths_col, bytes_col):
-            for row in iter_warc_records(bytes(blob), source=path):
-                if html_only and row["error"] is None and not (
-                        row["status"] == 200
-                        and row["mime"] == "text/html"):
-                    continue
-                out.append(row)
-        return _records_table(out)
+    files = _expand_warc_paths(paths)
+    if not files:
+        raise FileNotFoundError(f"no .warc/.warc.gz archives in {paths}")
 
-    files = ray.data.read_binary_files(paths, include_paths=True,
-                                       **read_kwargs)
-    return files.map_batches(to_records, batch_format="pyarrow",
-                             batch_size=1)    # one archive per batch
+    def stream_archives(batch):
+        for path in batch.column("path").to_pylist():
+            rows: list[dict] = []
+            nb = 0
+            with open(path, "rb") as f:
+                for row in iter_warc_stream(f, source=path):
+                    if html_only and row["error"] is None and not (
+                            row["status"] == 200
+                            and row["mime"] == "text/html"):
+                        continue
+                    rows.append(row)
+                    nb += len(row["html"] or "")
+                    if len(rows) >= flush_records or nb >= flush_bytes:
+                        yield _records_table(rows)
+                        rows, nb = [], 0
+            if rows:
+                yield _records_table(rows)
+
+    ds = ray.data.from_items([{"path": p} for p in files],
+                             override_num_blocks=len(files))
+    return ds.map_batches(stream_archives, batch_format="pyarrow",
+                          batch_size=1)    # one archive per task
 
 
 def warc_to_interleaved(batch) -> "pa.Table":
@@ -205,22 +383,33 @@ def warc_to_interleaved(batch) -> "pa.Table":
           |> extract_dataset |> write_parquet
 
     ``doc_id`` is the target URI (the stable key of a crawl).  Error
-    rows (html is null) are dropped here — they are already
-    quarantined in the ``read_warc`` output; keep that dataset if you
-    need them."""
+    rows (corrupt/truncated records, html is null) become docs with
+    empty spans and a non-null ``input_error`` column — the extractor
+    quarantines them as ``status="error"`` rows, so on the
+    run_extraction path they reach the ``_quarantine`` sidecar and the
+    wave manifest's error count instead of silently vanishing."""
     import pyarrow as pa
+    files = batch.column("warc_file").to_pylist()
+    rids = batch.column("record_id").to_pylist()
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
-    ids, spans = [], []
-    for url, html in zip(urls, htmls):
+    errs = batch.column("error").to_pylist()
+    ids, spans, ierr = [], [], []
+    for i, (url, html) in enumerate(zip(urls, htmls)):
         if html is None:
+            ids.append(url or rids[i]
+                       or f"{files[i]}#corrupt-{i}")
+            spans.append([])
+            ierr.append(errs[i] or "no-payload")
             continue
         ids.append(url)
         spans.append([{"kind": "text", "text": html,
                        "media_ref": "", "offset": 0}])
+        ierr.append(None)
     from ..pipelines.wrap import SPANS_TYPE
     return pa.table({"doc_id": pa.array(ids, pa.string()),
-                     "spans": pa.array(spans, SPANS_TYPE)})
+                     "spans": pa.array(spans, SPANS_TYPE),
+                     "input_error": pa.array(ierr, pa.string())})
 
 
 # ------------------------------------------------------ test builder

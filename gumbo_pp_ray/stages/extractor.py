@@ -92,6 +92,11 @@ class ExtractSpans:
         if chunked:
             chunk_ids = batch.column("chunk_id").to_pylist()
             n_chunks = batch.column("n_chunks").to_pylist()
+        # optional upstream-corruption marker (sources/warc.py error
+        # rows): non-null → quarantine directly, same status="error"
+        # contract as a poison parse — never dropped, never parsed
+        ierr = (batch.column("input_error").to_pylist()
+                if "input_error" in names else None)
 
         col = batch.column("spans")
         if isinstance(col, pa.ChunkedArray):
@@ -112,6 +117,13 @@ class ExtractSpans:
         span_counts = np.empty(len(doc_ids), dtype=np.int64)
 
         for i in range(len(doc_ids)):
+            if ierr is not None and ierr[i] is not None:
+                span_counts[i] = 0
+                statuses.append("error")
+                n_errs.append(-1)
+                n_spans.append(0)
+                n_bytes.append(0)
+                continue
             lo, hi = int(row_offsets[i]), int(row_offsets[i + 1])
             o = offs[lo:hi]
             if len(o) > 1 and not (o[:-1] <= o[1:]).all():

@@ -45,7 +45,12 @@ class SplitMegaDocs:
                 "n_chunks", pa.array(np.ones(n, dtype=np.int32)))
         doc_ids = batch.column("doc_id").to_pylist()
         spans_py = col.to_pylist()
+        # carry the upstream-corruption marker (sources/warc.py) if
+        # present; error rows have 0 spans so they never split
+        ierr = (batch.column("input_error").to_pylist()
+                if "input_error" in batch.schema.names else None)
         out_ids, out_spans, out_chunk, out_nchunks = [], [], [], []
+        out_ierr = []
         m = self.max_spans
         for i in range(n):
             spans = spans_py[i]
@@ -54,6 +59,8 @@ class SplitMegaDocs:
                 out_spans.append(spans)
                 out_chunk.append(0)
                 out_nchunks.append(1)
+                if ierr is not None:
+                    out_ierr.append(ierr[i])
                 continue
             chunks = [spans[j:j + m] for j in range(0, len(spans), m)]
             for ci, ch in enumerate(chunks):
@@ -61,9 +68,14 @@ class SplitMegaDocs:
                 out_spans.append(ch)
                 out_chunk.append(ci)
                 out_nchunks.append(len(chunks))
-        return pa.table({
+                if ierr is not None:
+                    out_ierr.append(ierr[i])
+        cols = {
             "doc_id": pa.array(out_ids, pa.string()),
             "spans": pa.array(out_spans, col.type),
             "chunk_id": pa.array(out_chunk, pa.int32()),
             "n_chunks": pa.array(out_nchunks, pa.int32()),
-        })
+        }
+        if ierr is not None:
+            cols["input_error"] = pa.array(out_ierr, pa.string())
+        return pa.table(cols)

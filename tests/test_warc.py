@@ -177,6 +177,108 @@ def test_run_extraction_over_warc_archives(ray_session, tmp_path):
         "http://w0.test/p0"
 
 
+def test_gzip_corrupt_archive_recovers_prefix():
+    """A truncated / bit-flipped gzip archive yields the records
+    recovered before the damage plus ONE final gzip-corrupt error row
+    — never an exception (ADVICE round 4: gzip-level corruption must
+    follow the same quarantine contract as WARC-level corruption)."""
+    blob = build_warc(RECORDS, gzip_members=True)
+    # truncate inside the last member
+    rows = list(iter_warc_records(blob[:-40], source="t"))
+    assert rows and rows[-1]["error"] == "gzip-corrupt"
+    ok = [r for r in rows if r["error"] is None]
+    assert [r["url"] for r in ok] == [
+        "http://a.test/page1", "http://a.test/page2",
+        "http://a.test/page3"]
+    # bit-flip mid-stream (inside the first member's deflate data)
+    flipped = bytearray(blob)
+    flipped[60] ^= 0xFF
+    rows = list(iter_warc_records(bytes(flipped)))
+    assert rows[-1]["error"] == "gzip-corrupt"
+    # single-member gzip truncated: same contract
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(build_warc(RECORDS))
+    rows = list(iter_warc_records(buf.getvalue()[:-8]))
+    assert rows[-1]["error"] == "gzip-corrupt"
+
+
+class _NoSlurpFile:
+    """File-like that forbids unbounded reads — proves the scanner
+    never materializes the archive."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    def read(self, n: int = -1) -> bytes:
+        assert n is not None and n >= 0, "full-file read attempted"
+        out = self._data[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+
+def test_stream_scan_is_memory_bounded(monkeypatch):
+    """Peak buffer while scanning a many-record archive stays at
+    max(record size) + one read chunk, independent of archive size."""
+    import gumbo_pp_ray.sources.warc as warc_mod
+    from gumbo_pp_ray.sources.warc import iter_warc_stream
+
+    monkeypatch.setattr(warc_mod, "_CHUNK", 4096)
+    recs = [{"url": f"http://m.test/{i}", "html": "x" * 2000}
+            for i in range(500)]                  # ~1.2 MB total
+    blob = build_warc(recs, gzip_members=True)
+    stats = {}
+    rows = list(iter_warc_stream(_NoSlurpFile(blob), _stats=stats))
+    assert len(rows) == 500
+    assert all(r["error"] is None for r in rows)
+    # largest record ~2.4 KB; bound = record + a few 4 KB chunks,
+    # nowhere near the ~1.2 MB archive
+    assert stats["peak_buffer"] < 64 * 1024
+    # plain (uncompressed) input through the same bound
+    stats = {}
+    rows = list(iter_warc_stream(_NoSlurpFile(build_warc(recs)),
+                                 _stats=stats))
+    assert len(rows) == 500
+    assert stats["peak_buffer"] < 64 * 1024
+
+
+def test_warc_error_rows_reach_quarantine(ray_session, tmp_path):
+    """Corrupt records are NOT dropped on the run_extraction WARC
+    path: they surface as status='error' docs, land in the
+    _quarantine sidecar, and count in the wave manifest (ADVICE
+    round 4, warc_to_interleaved silent-drop)."""
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    good = build_warc([
+        {"url": f"http://q.test/p{i}",
+         "html": f"<html><body><p>doc {i} words</p></body></html>"}
+        for i in range(3)])
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://q.test/corrupt\r\n"
+           b"Content-Length: nope\r\n\r\njunk\r\n\r\n")
+    (src / "s.warc").write_bytes(good + bad)
+
+    out = tmp_path / "out"
+    s = run_extraction(str(src), str(out), concurrency=2)
+    assert s["docs"] == 4 and s["errors"] == 1
+
+    import pyarrow.parquet as pq
+    qfiles = list((out / "_quarantine").rglob("*.parquet"))
+    assert qfiles
+    q = pq.read_table([str(f) for f in qfiles])
+    assert q.num_rows == 1
+    assert q.column("doc_id").to_pylist() == ["http://q.test/corrupt"]
+    assert q.column("status").to_pylist() == ["error"]
+    # clean waves contain only the good docs
+    from gumbo_pp_ray.sources.io import list_output_files
+    t = pq.read_table(list_output_files(str(out)))
+    assert sorted(t.column("doc_id").to_pylist()) == [
+        f"http://q.test/p{i}" for i in range(3)]
+
+
 def test_warc_round_trip_property():
     """Property: build_warc → iter_warc_records is lossless for any
     record content, including HTML that embeds WARC magic, CRLF
