@@ -443,19 +443,35 @@ def _q_ann_topk_ivf(sf_dir: str):
 
 
 def _q_knn_graph(sf_dir: str):
-    """Exact kNN graph: every embedding row gets its 5 nearest
-    neighbors by (-cosine, neighbor_id) — the broadcast exactness
-    baseline (zero shuffle); the bucketed scale path is
-    knn_graph_lsh, recall-tested in tests/test_similarity.py."""
+    """kNN graph PLAN DISCRIMINATOR (VERDICT r4 item 8): both
+    execution plans — the exact broadcast baseline (zero shuffle) AND
+    the LSH-bucketed scale path at its degenerate ``n_planes=0``
+    config (one bucket ⇒ exact) — emit the same (vec_id, neighbor_id,
+    rank) edges tagged with a ``plan`` column, so ONE oracle row pins
+    them identical.  Approximate-recall LSH configs are measured in
+    tests/test_similarity.py."""
     import numpy as np
     import pyarrow.parquet as pq
-    from gumbo_pp_ray.stages.similarity import knn_graph
+    from gumbo_pp_ray.stages.similarity import knn_graph, knn_graph_lsh
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     corpus = {"ids": t.column("vec_id").to_pylist(),
               "matrix": np.asarray(t.column("embedding").to_pylist(),
                                    dtype=np.float64)}
-    return knn_graph(_emb(sf_dir), corpus, k=5)
+    dim = corpus["matrix"].shape[1]
+
+    def tag(plan):
+        def add(tb):
+            return tb.append_column(
+                "plan", pa.array([plan] * len(tb), pa.string()))
+        return add
+
+    exact = knn_graph(_emb(sf_dir), corpus, k=5).map_batches(
+        tag("broadcast"), batch_format="pyarrow")
+    lsh = knn_graph_lsh(_emb(sf_dir), dim=dim, k=5,
+                        n_planes=0).map_batches(
+        tag("lsh_onebucket"), batch_format="pyarrow")
+    return exact.union(lsh)
 
 
 def _q_emb_neardup(sf_dir: str):
@@ -479,11 +495,17 @@ def _q_emb_neardup(sf_dir: str):
 
 def _q_emb_neardup_lsh(sf_dir: str):
     """Bucket-first embedding near-dup (the scale path: hyperplane
-    buckets → in-bucket pairwise; rows-only, approximate recall)."""
+    buckets → in-bucket pairwise) at the DEGENERATE ``n_planes=0``
+    config — one bucket ⇒ the in-bucket pairwise IS the exact
+    all-pairs, so the whole bucketed machinery (bucket stage, groupby
+    exchange, per-bucket matmul, pair canonicalization) runs under the
+    exact emb_neardup oracle (VERDICT r4 item 3, the ann_topk_lsh
+    trick).  Approximate-recall configs (n_planes=6) are measured in
+    tests/test_similarity.py and exercised by emb_neardup_clusters."""
     from gumbo_pp_ray.stages.similarity import embedding_neardup_pairs_lsh
     dim = _read_query_embeddings(sf_dir, n=1)["matrix"].shape[1]
     ds = embedding_neardup_pairs_lsh(_emb(sf_dir), dim=dim,
-                                     threshold=0.5, n_planes=6)
+                                     threshold=0.5, n_planes=0)
     rows = ds.take_all()
     return pa.table({
         "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),
@@ -1132,7 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "knn_graph": _q_knn_graph,
         "emb_neardup": _q_emb_neardup,
-        "emb_neardup_lsh": _q_emb_neardup_lsh,  # rows-only (approximate)
+        "emb_neardup_lsh": _q_emb_neardup_lsh,  # exact at n_planes=0
         "emb_neardup_clusters": _q_emb_neardup_clusters,  # rows-only
         # text analysis / corpus stats
         "token_stats": _q_token_stats,
@@ -1335,14 +1357,18 @@ def oracle_sql() -> dict[str, str]:
                        CAST(a.embedding AS DOUBLE[]),
                        CAST(b.embedding AS DOUBLE[])) AS cos
               FROM embeddings a, embeddings b
-              WHERE a.vec_id <> b.vec_id)
-            SELECT vec_id, neighbor_id, rank FROM (
-              SELECT vec_id, neighbor_id,
-                     row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY cos DESC, neighbor_id) AS rank
-              FROM s)
-            WHERE rank <= 5
+              WHERE a.vec_id <> b.vec_id),
+            topk AS (
+              SELECT vec_id, neighbor_id, rank FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                FROM s)
+              WHERE rank <= 5)
+            SELECT t.vec_id, t.neighbor_id, t.rank, p.plan
+            FROM topk t, (VALUES ('broadcast'),
+                                 ('lsh_onebucket')) AS p(plan)
         """,
         # degenerate full-probe configs are EXACT -> same oracle as
         # the brute-force path (see _q_ann_topk_lsh/_q_ann_topk_ivf)
@@ -1396,6 +1422,16 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p JOIN cnt c ON p.tok = c.tok
         """,
         "emb_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.5
+        """,
+        # degenerate n_planes=0 (one bucket) is EXACT -> same pair
+        # oracle as the broadcast path (see _q_emb_neardup_lsh)
+        "emb_neardup_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id

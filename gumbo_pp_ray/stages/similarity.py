@@ -397,19 +397,35 @@ def _row_topk_table(sims: np.ndarray, row_ids: np.ndarray,
                     col_ids: np.ndarray, k: int) -> pa.Table:
     """Per-row top-k of a similarity block with deterministic
     (-cosine, neighbor_id) ordering; self matches must already be
-    masked to -inf.  Vectorized: one argpartition + one lexsort over
-    the k candidates per row, no Python loop."""
-    k = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+    masked to -inf.  Vectorized: one argpartition over 2k candidates +
+    one lexsort, no Python loop on the common path.
+
+    Boundary ties: ``argpartition`` alone picks ARBITRARY columns
+    among cosines tied at the k-th value (e.g. duplicate embeddings),
+    which can disagree with the (-cosine, neighbor_id) contract.  We
+    partition 2k candidates and, for the rare rows whose first
+    DROPPED candidate ties the last KEPT one, redo that row with a
+    full deterministic lexsort — exactness for a per-row fallback
+    that fires only on tie clusters wider than k."""
+    width = sims.shape[1]
+    k = min(k, width - 1) if width > 1 else 0
     if k <= 0:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64())})
-    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    kk = min(2 * k, width)          # kk > k whenever k < width
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
     rows = np.arange(sims.shape[0])[:, None]
     cand_sims = sims[rows, part]
     cand_ids = col_ids[part]
     order = np.lexsort((cand_ids, -cand_sims), axis=1)
-    nid = np.take_along_axis(cand_ids, order, axis=1)
+    top_sims = np.take_along_axis(cand_sims, order, axis=1)
+    nid = np.take_along_axis(cand_ids, order, axis=1)[:, :k]
+    if kk > k:
+        risky = np.nonzero(top_sims[:, k] == top_sims[:, k - 1])[0]
+        for r in risky:
+            full = np.lexsort((col_ids, -sims[r]))[:k]
+            nid[r] = col_ids[full]
     return pa.table({
         "vec_id": pa.array(np.repeat(row_ids, k), pa.int64()),
         "neighbor_id": pa.array(nid.ravel(), pa.int64()),

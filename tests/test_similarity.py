@@ -312,3 +312,33 @@ def test_knn_graph_lsh_recall_on_clustered_data(ray_session):
                                      n_planes=4).take_all()}
     recall = len(exact & approx) / len(exact)
     assert recall > 0.6, recall
+
+
+def test_row_topk_boundary_ties_deterministic():
+    """Duplicate embeddings create cosine ties straddling the k
+    boundary; the selection must still follow (-cosine, neighbor_id)
+    — the DuckDB oracle's ORDER BY (ADVICE round 4: bare argpartition
+    picked arbitrary tied columns)."""
+    from gumbo_pp_ray.stages.similarity import _row_topk_table
+
+    # row 0: col 0 is the unique best (cos 1.0), cols 1..9 all tied at
+    # 0.5 → top-3 must be [0, 1, 2] (smallest ids among the tie), for
+    # EVERY permutation of column order
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        perm = rng.permutation(10)
+        sims = np.full((1, 10), 0.5)
+        sims[0, np.where(perm == 0)[0][0]] = 1.0
+        col_ids = perm.astype(np.int64)
+        t = _row_topk_table(sims, np.array([99], dtype=np.int64),
+                            col_ids, k=3)
+        assert t.column("neighbor_id").to_pylist() == [0, 1, 2]
+        assert t.column("rank").to_pylist() == [1, 2, 3]
+
+    # tie cluster WIDER than 2k (the fallback path): 16 tied columns,
+    # k=3 → smallest three ids win
+    sims = np.full((2, 16), 0.25)
+    col_ids = np.arange(16, 0, -1).astype(np.int64)   # ids 16..1
+    t = _row_topk_table(sims, np.array([1, 2], dtype=np.int64),
+                        col_ids, k=3)
+    assert t.column("neighbor_id").to_pylist() == [1, 2, 3, 1, 2, 3]
