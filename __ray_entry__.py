@@ -288,10 +288,37 @@ def _q_token_stats(sf_dir: str):
 
 
 def _q_quality_score(sf_dir: str):
+    """Document-quality COMPOUND (VERDICT r4 item 4): the heuristic
+    integer components AND the CCNet-style bigram-LM perplexity
+    (stages/lm.py — trained on this corpus with the default bounds,
+    scored per doc) in one row per document, both pinned by the exact
+    DuckDB oracle (the SQL recomputes add-one-smoothed bigram
+    perplexity from the same thresholded model).  One fused actor
+    stage: model broadcast once, heuristic + ppl computed per batch —
+    no join, no extra shuffle."""
+    import ray
+    from gumbo_pp_ray.stages.lm import (PerplexityScore,
+                                        train_bigram_lm)
     from gumbo_pp_ray.stages.text_analysis import QualityScore
     from gumbo_pp_ray.state.sizing import default_concurrency
+
+    model = train_bigram_lm(_docs(sf_dir, ("doc_id", "text")))
+    model_ref = ray.put(model)
+
+    class QualityWithPpl:
+        def __init__(self):
+            self.heur = QualityScore()
+            self.ppl = PerplexityScore(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qt = self.heur(batch)
+            pt = self.ppl(batch)
+            return qt.append_column(
+                "ppl_milli", pt.column("ppl_milli")).append_column(
+                "n_transitions", pt.column("n_transitions"))
+
     return _docs(sf_dir).map_batches(
-        QualityScore, batch_format="pyarrow",
+        QualityWithPpl, batch_format="pyarrow",
         concurrency=default_concurrency())
 
 
@@ -1277,6 +1304,11 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS uniq_ratio_milli
             FROM t
         """,
+        # compound: heuristic components + CCNet-style bigram-LM
+        # perplexity recomputed from scratch in SQL — same model as
+        # stages/lm.py defaults (vocab_min_count=5, bigram_min_count=2,
+        # caps non-binding at oracle scales), add-one smoothing with
+        # UNK folding, ppl_milli = round(1000 * 2^mean(-log2 p))
         "quality_score": r"""
             WITH t AS (
               SELECT doc_id,
@@ -1286,8 +1318,47 @@ def oracle_sql() -> dict[str, str]:
                      length(text) AS n_chars,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                        AS n_alpha
-              FROM documents)
-            SELECT doc_id,
+              FROM documents),
+            tok AS (SELECT doc_id, u.tok FROM t, unnest(toks) AS u(tok)),
+            uni AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok
+              GROUP BY tok HAVING count(*) >= 5),
+            vsz AS (SELECT count(*) AS v FROM uni),
+            rawpairs AS (
+              SELECT t.doc_id, z[1] AS w1r, z[2] AS w2r
+              FROM t, unnest(list_zip(toks, toks[2:])) AS zz(z)
+              WHERE z[2] IS NOT NULL),
+            folded AS (
+              SELECT p.doc_id,
+                     CASE WHEN u1.tok IS NULL THEN NULL
+                          ELSE p.w1r END AS w1,
+                     CASE WHEN u2.tok IS NULL THEN NULL
+                          ELSE p.w2r END AS w2,
+                     u1.n AS w1n
+              FROM rawpairs p
+              LEFT JOIN uni u1 ON u1.tok = p.w1r
+              LEFT JOIN uni u2 ON u2.tok = p.w2r),
+            bg AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+              FROM folded GROUP BY w1, w2 HAVING count(*) >= 2),
+            unk AS (SELECT COALESCE(sum(n), 0) AS n
+                    FROM bg WHERE w1 IS NULL),
+            trans AS (
+              SELECT f.doc_id,
+                     COALESCE(g.n, 0) + 1.0 AS num,
+                     COALESCE(f.w1n, (SELECT n FROM unk))
+                       + (SELECT v FROM vsz) + 1.0 AS den
+              FROM folded f
+              LEFT JOIN bg g ON g.w1 IS NOT DISTINCT FROM f.w1
+                            AND g.w2 IS NOT DISTINCT FROM f.w2),
+            ppl AS (
+              SELECT doc_id,
+                     CAST(round(1000 * pow(2.0,
+                          avg(-log2(num / den)))) AS BIGINT)
+                       AS ppl_milli,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM trans GROUP BY doc_id)
+            SELECT t.doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
                    CAST(n_alpha AS BIGINT) AS n_alpha,
@@ -1296,8 +1367,10 @@ def oracle_sql() -> dict[str, str]:
                         + 300 * len(list_distinct(toks))
                           // GREATEST(len(toks), 1)
                         + 300 * n_alpha // GREATEST(n_chars, 1)
-                        AS BIGINT) AS quality_milli
-            FROM t
+                        AS BIGINT) AS quality_milli,
+                   COALESCE(p.ppl_milli, 0) AS ppl_milli,
+                   COALESCE(p.n_transitions, 0) AS n_transitions
+            FROM t LEFT JOIN ppl p ON p.doc_id = t.doc_id
         """,
         "dedup_exact": r"""
             SELECT md5(text) AS content_hash,
