@@ -186,3 +186,40 @@ def test_append_requires_existing_index(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         append_signature_index(_mk_corpus(["x"]),
                                str(tmp_path / "nope"), concurrency=2)
+
+
+def test_reindexed_doc_new_signature_wins(ray_session, tmp_path):
+    """A doc_id present in BOTH the index (old text) and the new shard
+    (changed text) must be verified against its NEW signature in both
+    plans (round-4 ADVICE: the ids plan attached whichever signature
+    index_in found first, breaking mode equivalence)."""
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+
+    idx = str(tmp_path / "sigidx")
+    # index: doc 5's OLD text is a dup of doc 3; docs 0..9 otherwise
+    # unique
+    write_signature_index(_mk_corpus(BASE[:10]), idx, concurrency=2)
+
+    # new shard re-indexes doc 5 with COMPLETELY different text that
+    # now duplicates new doc 100
+    changed = "rewritten payload after edit shared with the new doc y"
+    import ray.data
+    new_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 100], pa.int64()),
+        "text": [changed, changed],
+    }))
+
+    results = {}
+    for mode in ("signatures", "ids"):
+        pairs = minhash_lsh_pairs_incremental(
+            new_ds, idx, threshold=0.8, concurrency=2,
+            num_partitions=4, band_exchange=mode).to_pandas()
+        results[mode] = {tuple(r) for r in
+                         pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    # both plans: the re-indexed doc pairs with its new twin, and its
+    # OLD signature no longer produces (3, 5)
+    assert results["signatures"] == results["ids"]
+    assert (5, 100) in results["ids"]
+    assert (3, 5) not in results["ids"]
