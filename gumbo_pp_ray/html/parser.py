@@ -18,16 +18,14 @@ observable behavior (its test documents + our conformance corpus):
   tokenizer does), raw source slices recoverable via true offsets.
 
 Also implemented: foster parenting of non-whitespace in-table text
-(re-parented before the table); a simplified adoption agency
-(active-formatting-elements list with table-boundary markers and
-reconstruction — the ``<b><i>x</b>y</i>`` family produces the
-spec/gumbo tree) including the single-furthest-block case
-(``<b><p>x</b>y</p>`` → ``<b></b><p><b>x</b>y</p>``, see _adopt);
-``</p>`` with no open ``p`` synthesizes an empty ``p`` (WHATWG
-in-body rule). Remaining documented divergences: multi-iteration
-adoption (several nested furthest blocks) falls back to pop-through
-recovery, and Noah's Ark clause is not enforced. Recoverable errors
-are counted.
+(re-parented before the table); the FULL WHATWG adoption agency
+(active-formatting-elements list with table-boundary markers,
+reconstruction, Noah's Ark clause, and the 8-iteration outer /
+3-step inner loop — multi-block misnesting like
+``<b>1<div>2<div>3</b>`` clones the formatting element into every
+intervening block, the html5lib adoption01 family; see
+_adoption_agency); ``</p>`` with no open ``p`` synthesizes an empty
+``p`` (WHATWG in-body rule). Recoverable errors are counted.
 
 Designed for the hot path of a Ray actor pool: one module-level pass,
 no recursion, compiled regexes shared per process.
@@ -91,11 +89,12 @@ _ANY_CLOSER = frozenset().union(*_CLOSED_BY.values())
 _TABLE_SCAFFOLD = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
 
 # formatting elements tracked by the active-formatting-elements list
-# (simplified adoption agency: reconstruction without the full Noah's
-# Ark / furthest-block machinery — handles the common
-# <b><i>x</b>y</i> class of mis-nesting like gumbo's tree builder)
+# (full WHATWG adoption agency — see _adoption_agency)
 _FORMATTING = frozenset(
     "a b big code em font i nobr s small strike strong tt u".split())
+# "has an element in scope" barrier set (WHATWG 13.2.4.2, HTML subset)
+_SCOPE_BARRIERS = frozenset(
+    "applet caption html table td th marquee object template".split())
 # boundaries formatting must not leak across (spec: marker entries)
 _AFE_MARKERS = frozenset(("table", "td", "th", "caption"))
 _AFE_MARKER = object()
@@ -335,43 +334,173 @@ class _TreeBuilder:
                 entry[2] = el
                 on_stack.add(id(el))
 
-    def _adopt(self, i: int, start: int, end: int):
-        """Furthest-block adoption agency (single-iteration form for
-        the common stack shape [..., ancestor, fe, fb(top)]): the
-        block fb moves up to fe's parent, fb's current children are
-        wrapped in a CLOSED clone of fe, fe closes here and leaves the
-        stack and the afe list.  Subsequent content lands in fb,
-        outside any reopened formatting — the observable behavior the
-        spec's algorithm produces for <b><p>x</b>y</p>
-        (→ <b></b><p><b>x</b>y</p>)."""
-        fe, fb = self.stack[i], self.stack[i + 1]
-        ancestor = self.stack[i - 1]
-        self.error(start, "adoption-agency")
-        # detach fb from fe, reindex fe's remaining children
-        kids = fe._children
-        del kids[fb.index_within_parent]
-        for j in range(fb.index_within_parent, len(kids)):
+    def _afe_index_of(self, el):
+        for idx in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[idx]
+            if e is not _AFE_MARKER and e[2] is el:
+                return idx
+        return None
+
+    def _detach(self, node: Node):
+        p = node.parent
+        if p is None:
+            return
+        kids = p._children
+        i = node.index_within_parent
+        del kids[i]
+        for j in range(i, len(kids)):
             kids[j].index_within_parent = j
-        # clone wraps fb's children accumulated so far (closed, empty
-        # original-tag slices at fb's insertion point); created even
-        # when empty — the spec's tree keeps the empty clone
-        clone = Element(fe.tag, dict(fe.attrs), fb.start_tag_end,
-                        fb.start_tag_end, implied=True)
-        clone._children = fb._children
-        for c in clone._children:
-            c.parent = clone
-        clone.parent = fb
-        clone.index_within_parent = 0
-        fb._children = [clone]
-        # fb becomes ancestor's last child
-        fb.parent = ancestor
-        fb.index_within_parent = len(ancestor._children)
-        ancestor._children.append(fb)
-        # fe closes at this end tag and leaves stack + afe
-        fe.end_tag_start = start
-        fe.end = end
-        del self.stack[i]
-        self._afe_remove(fe)
+        node.parent = None
+
+    def _append_child(self, parent, node: Node):
+        node.parent = parent
+        node.index_within_parent = len(parent._children)
+        parent._children.append(node)
+
+    def _in_scope(self, target) -> bool:
+        """WHATWG "has an element in scope" for a stack element."""
+        for el in reversed(self.stack):
+            if el is target:
+                return True
+            if getattr(el, "tag", "") in _SCOPE_BARRIERS:
+                return False
+        return False
+
+    def _any_other_end_tag(self, tag: str, start: int, end: int):
+        """WHATWG in-body "any other end tag": close up to a matching
+        open element, never across a SPECIAL element (a formatting
+        subject routes here when it has no afe entry — e.g. its entry
+        sits before a table/cell marker)."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            node = self.stack[i]
+            if node.tag == tag:
+                while len(self.stack) - 1 > i:
+                    self.error(start, "misnested-end-tag")
+                    self._pop(start)
+                el = self.stack.pop()
+                el.end_tag_start = start
+                el.end = end
+                return
+            if node.tag in _SPECIAL:
+                self.error(start, "unmatched-end-tag")
+                return
+        self.error(start, "unmatched-end-tag")
+
+    def _adoption_agency(self, subject: str, start: int, end: int):
+        """WHATWG 13.2.6.4.7 adoption agency algorithm, FULL form:
+        outer loop up to 8 iterations — one furthest block each, so
+        multi-block misnesting (<b>1<div>2<div>3</b>) clones the
+        formatting element into EVERY intervening block — with the
+        ≤3-step inner loop rebuilding the common-ancestor chain.
+        Replaces the earlier single-furthest-block form (rounds 1-4).
+        Reference parity anchor: the external gumbo C library the
+        reference builds on implements this same algorithm; all tree
+        shapes here are the spec's (html5lib adoption01 family,
+        pinned in tests/test_realworld_html.py)."""
+        for _ in range(8):
+            # formatting element: last afe entry for subject after the
+            # last marker
+            fe_idx = None
+            for idx in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[idx]
+                if e is _AFE_MARKER:
+                    break
+                if e[0] == subject:
+                    fe_idx = idx
+                    break
+            if fe_idx is None:
+                self._any_other_end_tag(subject, start, end)
+                return
+            entry = self.afe[fe_idx]
+            fe = entry[2]
+            fe_stack = None
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i] is fe:
+                    fe_stack = i
+                    break
+            if fe_stack is None:           # in afe but not on stack
+                self.error(start, "adoption-agency")
+                del self.afe[fe_idx]
+                return
+            if not self._in_scope(fe):
+                self.error(start, "unmatched-end-tag")
+                return
+            if fe is not self.stack[-1]:
+                self.error(start, "adoption-agency")
+            # furthest block: the EARLIEST special element above fe
+            fb_idx = None
+            for j in range(fe_stack + 1, len(self.stack)):
+                if self.stack[j].tag in _SPECIAL:
+                    fb_idx = j
+                    break
+            if fb_idx is None:             # no block: pop through fe
+                while self.stack[-1] is not fe:
+                    self._pop(start)
+                self.stack.pop()
+                if fe.end <= fe.start_tag_end:
+                    fe.end_tag_start = start
+                    fe.end = end
+                self._afe_remove(fe)
+                return
+            common = self.stack[fe_stack - 1]
+            fb = self.stack[fb_idx]
+            bookmark = fe_idx
+            node_idx = fb_idx
+            last_node = fb
+            inner = 0
+            while True:                    # inner loop
+                inner += 1
+                node_idx -= 1
+                node = self.stack[node_idx]
+                if node is fe:
+                    break
+                nafe = self._afe_index_of(node)
+                if inner > 3 and nafe is not None:
+                    del self.afe[nafe]
+                    if nafe < bookmark:
+                        bookmark -= 1
+                    nafe = None
+                if nafe is None:
+                    del self.stack[node_idx]
+                    continue
+                clone = Element(node.tag, dict(self.afe[nafe][1]),
+                                start, start, implied=True)
+                self.afe[nafe][2] = clone
+                self.stack[node_idx] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = nafe + 1
+                self._detach(last_node)
+                self._append_child(node, last_node)
+                last_node = node
+            self._detach(last_node)
+            if getattr(common, "tag", "") in _TABLE_SCAFFOLD:
+                self._foster_append(last_node)   # appropriate place
+            else:
+                self._append_child(common, last_node)
+            # clone of fe wraps everything fb accumulated so far
+            clone = Element(fe.tag, dict(entry[1]), fb.start_tag_end,
+                            fb.start_tag_end, implied=True)
+            kids = fb._children
+            fb._children = []
+            clone._children = kids
+            for k, c in enumerate(kids):
+                c.parent = clone
+                c.index_within_parent = k
+            self._append_child(fb, clone)
+            nafe = self._afe_index_of(fe)
+            if nafe is not None:
+                del self.afe[nafe]
+                if nafe < bookmark:
+                    bookmark -= 1
+            self.afe.insert(bookmark, [fe.tag, dict(entry[1]), clone])
+            del self.stack[fe_stack]
+            self.stack.insert(self.stack.index(fb) + 1, clone)
+            # the original fe closes at this end tag (clones close
+            # when later popped / adopted themselves)
+            if fe.end <= fe.start_tag_end:
+                fe.end_tag_start = start
+                fe.end = end
 
     # -- low-level insertion --
 
@@ -657,32 +786,10 @@ class _TreeBuilder:
                 self._afe_clear_to_marker()
             return
         if tag in _FORMATTING:
-            # element not at top: adoption agency.  The furthest-block
-            # case (a SPECIAL element open above the formatting
-            # element, e.g. <b><p>x</b>y</p>) reparents the block to
-            # the formatting element's parent and wraps the block's
-            # children in a closed clone — matching the gumbo/browser
-            # tree (<b></b><p><b>x</b>y</p>, later text NOT bold).
-            # Otherwise: pop to the element (popped formatting
-            # elements STAY in the afe list → reconstructed before the
-            # next insertion — the <b><i>x</b>y</i> family); unmatched
-            # → drop afe entry only.
-            for i in range(len(self.stack) - 1, 0, -1):
-                if self.stack[i].tag == tag:
-                    if (i == len(self.stack) - 2
-                            and self.stack[-1].tag in _SPECIAL):
-                        self._adopt(i, start, end)
-                        return
-                    while len(self.stack) - 1 > i:
-                        self.error(start, "misnested-end-tag")
-                        self._pop(start)
-                    el = self.stack.pop()
-                    el.end_tag_start = start
-                    el.end = end
-                    self._afe_remove(el)
-                    return
-            self.error(start, "unmatched-end-tag")
-            self._afe_remove_tag(tag)
+            # element not at top: the full WHATWG adoption agency (up
+            # to 8 furthest blocks re-wrapped; <b><p>x</b>y</p> →
+            # <b></b><p><b>x</b>y</p>, later text NOT bold)
+            self._adoption_agency(tag, start, end)
             return
         if tag == "p" and not any(
                 getattr(nd, "tag", "") == "p" for nd in self.stack[1:]):
