@@ -206,6 +206,14 @@ def run_extraction(
             from ..sources.warc import read_warc, warc_to_interleaved
             ds = read_warc(wave_files).map_batches(
                 warc_to_interleaved, batch_format="pyarrow")
+            # the archive is the task unit here: the reader's one-row
+            # path blocks are fused into the extract actor pool, and a
+            # row-count batch_size makes the bundler pack ALL archives
+            # of a wave into ONE task (16 one-row blocks < 96 rows ⇒
+            # zero parallelism — measured 10x wave slowdown on the
+            # 1M-page drill).  batch_size=None = one task per archive,
+            # batches = the reader's flush_records yields.
+            wave_batch_size = None
         else:
             # split the wave into ≥4 tasks per actor: blocks==files
             # quantizes to ~1 task/actor and the slowest file sets the
@@ -216,10 +224,11 @@ def run_extraction(
             ds = read_interleaved(
                 wave_files,
                 override_num_blocks=max(4 * pool_max, len(wave_files)))
+            wave_batch_size = batch_size
         out = extract_dataset(ds, profile=profile,
                               split_threshold=split_threshold,
                               concurrency=concurrency,
-                              batch_size=batch_size,
+                              batch_size=wave_batch_size,
                               max_doc_bytes=max_doc_bytes)
         tmp_dir = os.path.join(out_dir, f"_tmp-{name}")
         shutil_rmtree(tmp_dir)              # stale partial write
