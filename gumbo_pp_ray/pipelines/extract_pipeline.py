@@ -27,9 +27,11 @@ and it shuffles extracted spans (output-sized), never raw HTML.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
+import uuid
 
 import ray.data
 
@@ -126,6 +128,18 @@ def shutil_rmtree(path: str):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def _sweep_stale_tmps(out_dir: str, name: str):
+    """Remove orphan tmp dirs for a COMMITTED wave (crashed or racing
+    runs' partial writes; the wave's data is already final, so any
+    remaining tmp for it is garbage).  Also matches the pre-round-5
+    un-suffixed `_tmp-{name}` form."""
+    for stale in glob.glob(os.path.join(out_dir, f"_tmp-{name}-*")):
+        shutil_rmtree(stale)
+    legacy = os.path.join(out_dir, f"_tmp-{name}")
+    if os.path.isdir(legacy):
+        shutil_rmtree(legacy)
+
+
 def run_extraction(
     input_path: str,
     out_dir: str,
@@ -193,6 +207,7 @@ def run_extraction(
             summary["docs"] += m.get("docs", 0)
             summary["spans"] += m.get("spans", 0)
             summary["errors"] += m.get("errors", 0)
+            _sweep_stale_tmps(out_dir, name)
             continue
         if os.path.isdir(final_dir):
             # crash window: died after the directory rename but before
@@ -230,8 +245,17 @@ def run_extraction(
                               concurrency=concurrency,
                               batch_size=wave_batch_size,
                               max_doc_bytes=max_doc_bytes)
-        tmp_dir = os.path.join(out_dir, f"_tmp-{name}")
-        shutil_rmtree(tmp_dir)              # stale partial write
+        # PER-RUN-UNIQUE tmp name: two runs racing on the same out_dir
+        # must never share a tmp path — a shared path let one run's
+        # stale-cleanup rmtree delete the other's IN-FLIGHT write and
+        # produced a committed wave with mixed-run part files (observed
+        # live in the round-5 drill).  With unique tmps, committed
+        # waves are always single-writer; a racing loser adopts the
+        # winner's manifest at os.replace time (below) or errors — it
+        # can never corrupt committed data.  Crashed runs' orphan tmps
+        # are swept after this wave commits (_sweep_stale_tmps).
+        tmp_dir = os.path.join(out_dir,
+                               f"_tmp-{name}-{uuid.uuid4().hex[:8]}")
         # ONE fully-streamed pass: extract → write (the executor
         # pipelines read/parse/write; materializing here would serialize
         # the phases and hold the whole wave in the object store —
@@ -268,7 +292,34 @@ def run_extraction(
             full.filter(expr="status == 'ok'").write_parquet(clean_dir)
             shutil_rmtree(tmp_dir)
             tmp_dir = clean_dir
-        os.replace(tmp_dir, final_dir)      # atomic commit of the wave
+        # atomic commit of the wave — tolerant of a CONCURRENT run on
+        # the same out_dir (a lingering prior driver, or two retries
+        # racing): os.replace onto an existing non-empty directory
+        # raises, and before round 5 that crashed the losing run
+        # (observed in the 1M-page drill when a presumed-dead driver
+        # was still committing).  First commit wins; the loser's
+        # output is byte-identical (same inputs, deterministic
+        # extraction), so it is discarded and the wave counted from
+        # the winner's manifest.
+        try:
+            os.replace(tmp_dir, final_dir)
+        except OSError:
+            if os.path.exists(manifest_path):
+                # another run committed this wave while we processed
+                # it: adopt its manifest, drop our redundant copy
+                shutil_rmtree(tmp_dir)
+                with open(manifest_path) as f:
+                    m = json.load(f)
+                summary["waves_skipped"] += 1
+                summary["docs"] += m.get("docs", 0)
+                summary["spans"] += m.get("spans", 0)
+                summary["errors"] += m.get("errors", 0)
+                _sweep_stale_tmps(out_dir, name)
+                continue
+            # final_dir without a manifest: a crashed run's rename
+            # window — clear it and retry once (raises if still stuck)
+            shutil_rmtree(final_dir)
+            os.replace(tmp_dir, final_dir)
         manifest = {
             "wave": name,
             "input_files": wave_files,
@@ -285,6 +336,7 @@ def run_extraction(
         with open(manifest_path + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(manifest_path + ".tmp", manifest_path)
+        _sweep_stale_tmps(out_dir, name)
         summary["waves_run"] += 1
         summary["docs"] += manifest["docs"]
         summary["spans"] += manifest["spans"]

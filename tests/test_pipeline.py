@@ -380,3 +380,49 @@ def test_broadcast_membership_semi_anti(ray_session):
                                    concurrency=(1, 2)).take_all())
     assert run("semi") == [1, 3]
     assert run("anti") == [2, 4]
+
+
+def test_wave_commit_race_first_wins(ray_session, tmp_path, monkeypatch):
+    """Two runs racing on one out_dir: a competitor commits the wave
+    between our processing and our os.replace — the loser must adopt
+    the winner's manifest instead of crashing with ENOTEMPTY
+    (observed live in the round-5 1M-page drill)."""
+    import json
+    import os as _os
+    import pyarrow as pa
+    import ray.data
+    from gumbo_pp_ray.pipelines import extract_pipeline as ep
+    from gumbo_pp_ray.pipelines.wrap import wrap_documents
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [f"doc {i} body words here" for i in range(6)],
+        "lang": ["en"] * 6, "source": ["t"] * 6,
+    })
+    ray.data.from_arrow(wrap_documents(docs)).repartition(2) \
+        .write_parquet(str(src))
+
+    out = tmp_path / "out"
+    real_replace = _os.replace
+    fired = {}
+
+    def racing_replace(a, b):
+        # simulate the competitor winning the FIRST wave commit
+        if b.endswith("wave-00000") and "fired" not in fired:
+            fired["fired"] = True
+            _os.makedirs(b)
+            with open(_os.path.join(b, "part-0.parquet"), "wb") as f:
+                f.write(b"winner")
+            with open(str(out / "_lineage" / "wave-00000.json"),
+                      "w") as f:
+                json.dump({"wave": "wave-00000", "docs": 6,
+                           "spans": 6, "errors": 0}, f)
+        return real_replace(a, b)
+
+    monkeypatch.setattr(ep.os, "replace", racing_replace)
+    s = ep.run_extraction(str(src), str(out), concurrency=2)
+    # the loser adopted the winner's manifest: no crash, wave counted
+    assert s["waves_skipped"] == 1 and s["errors"] == 0
+    assert s["docs"] == 6
