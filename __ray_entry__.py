@@ -528,7 +528,7 @@ def _q_emb_neardup_lsh(sf_dir: str):
     exchange, per-bucket matmul, pair canonicalization) runs under the
     exact emb_neardup oracle (VERDICT r4 item 3, the ann_topk_lsh
     trick).  Approximate-recall configs (n_planes=6) are measured in
-    tests/test_similarity.py and exercised by emb_neardup_clusters."""
+    tests/test_similarity.py."""
     from gumbo_pp_ray.stages.similarity import embedding_neardup_pairs_lsh
     dim = _read_query_embeddings(sf_dir, n=1)["matrix"].shape[1]
     ds = embedding_neardup_pairs_lsh(_emb(sf_dir), dim=dim,
@@ -541,24 +541,50 @@ def _q_emb_neardup_lsh(sf_dir: str):
 
 
 def _q_emb_neardup_clusters(sf_dir: str):
-    """Near-dup PAIRS resolved into duplicate CLUSTERS: the LSH
-    embedding pairs feed distributed connected components — the
+    """Near-dup PAIRS resolved into duplicate CLUSTERS — the
     composition a real dedup decision pipeline runs (pairs alone are
-    not decisions).  Rows-only (bucket recall is approximate)."""
+    not decisions) — as a DUAL plan discriminator: branch
+    ``exact_bcast`` runs the exact broadcast pair path into the
+    broadcast CC plan; branch ``lsh0_cogroup`` runs the bucketed LSH
+    pair path at its degenerate ``n_planes=0`` config (one bucket ⇒
+    exact pairs) into the COGROUP CC plan (the 10^12-node shape,
+    otherwise never oracle-exercised — dup_clusters' auto plan picks
+    broadcast at driver scale).  One recursive-CTE oracle pins both
+    stacks identical.  Approximate-recall LSH configs (n_planes=6)
+    are measured in tests/test_similarity.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
     from gumbo_pp_ray.stages.graph import connected_components
-    from gumbo_pp_ray.stages.similarity import embedding_neardup_pairs_lsh
-    dim = _read_query_embeddings(sf_dir, n=1)["matrix"].shape[1]
-    pairs = embedding_neardup_pairs_lsh(_emb(sf_dir), dim=dim,
-                                        threshold=0.5, n_planes=6)
-    pairs = pairs.select_columns(["vec_a", "vec_b"]).map_batches(
-        lambda t: t.rename_columns(["doc_a", "doc_b"]),
-        batch_format="pyarrow")
+    from gumbo_pp_ray.stages.similarity import (
+        embedding_neardup_pairs, embedding_neardup_pairs_lsh)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    corpus = {"ids": t.column("vec_id").to_pylist(),
+              "matrix": np.asarray(t.column("embedding").to_pylist(),
+                                   dtype=np.float64)}
+    dim = corpus["matrix"].shape[1]
     nodes = _emb(sf_dir).select_columns(["vec_id"]).map_batches(
-        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
-    cc = connected_components(pairs, nodes, num_partitions=8)
-    return cc.map_batches(
-        lambda t: t.rename_columns(["vec_id", "cluster_id"]),
-        batch_format="pyarrow")
+        lambda tb: tb.rename_columns(["doc_id"]), batch_format="pyarrow")
+
+    def run(pairs, cc_plan: str, tag: str):
+        pairs = pairs.select_columns(["vec_a", "vec_b"]).map_batches(
+            lambda tb: tb.rename_columns(["doc_a", "doc_b"]),
+            batch_format="pyarrow")
+        cc = connected_components(pairs, nodes, num_partitions=8,
+                                  plan=cc_plan)
+        return cc.map_batches(
+            lambda tb: tb.rename_columns(["vec_id", "cluster_id"])
+            .append_column("plan", pa.array([tag] * len(tb),
+                                            pa.string())),
+            batch_format="pyarrow")
+
+    exact = run(embedding_neardup_pairs(_emb(sf_dir), corpus,
+                                        threshold=0.5),
+                "broadcast", "exact_bcast")
+    lsh = run(embedding_neardup_pairs_lsh(_emb(sf_dir), dim=dim,
+                                          threshold=0.5, n_planes=0),
+              "cogroup", "lsh0_cogroup")
+    return exact.union(lsh)
 
 
 def _q_page_metadata(sf_dir: str):
@@ -1182,7 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,  # exact at n_planes=0
-        "emb_neardup_clusters": _q_emb_neardup_clusters,  # rows-only
+        "emb_neardup_clusters": _q_emb_neardup_clusters,  # dual-plan exact
         # text analysis / corpus stats
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -1511,6 +1537,31 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(
                     CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) >= 0.5
+        """,
+        # both branches (exact-broadcast pairs -> broadcast CC;
+        # lsh-onebucket pairs -> cogroup CC) must equal the
+        # recursive-CTE min-label components over the exact pair set
+        "emb_neardup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id <> b.vec_id
+                  AND list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.5
+            ),
+            walk(vec_id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.v, w.r FROM walk w JOIN e ON e.u = w.vec_id
+            ),
+            cc AS (
+                SELECT vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+                FROM walk GROUP BY vec_id
+            )
+            SELECT c.vec_id, c.cluster_id, p.plan
+            FROM cc c, (VALUES ('exact_bcast'),
+                               ('lsh0_cogroup')) AS p(plan)
         """,
         "page_metadata": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
