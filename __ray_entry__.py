@@ -708,12 +708,56 @@ def _q_doc_chunks(sf_dir: str):
 
 
 def _q_norm_text(sf_dir: str):
-    """Unicode NFC + lowercase + whitespace-collapse normalization
-    (the standard pre-tokenization step); md5 of the normalized form
-    doubles as the downstream dedup key."""
-    from gumbo_pp_ray.stages.text_analysis import normalize_text
-    return _docs(sf_dir, ("doc_id", "text")).map_batches(
-        normalize_text, batch_format="pyarrow")
+    """Text-hygiene compound: mode='norm' is Unicode NFC + lowercase
+    + whitespace-collapse normalization (the standard
+    pre-tokenization step; md5 doubles as the downstream dedup key);
+    mode='pii' is the C4/ROOTS-style PII scrub (email/IPv4/phone →
+    typed placeholders) run over a deterministic PII-SEEDED
+    derivation of each doc — the synthetic corpus contains no PII, so
+    the seed (same ``||``-concat recomputed by the oracle) makes the
+    redaction path non-trivial and hash-pinned: every doc redacts one
+    email, one IP and one phone."""
+    from gumbo_pp_ray.stages.text_analysis import normalize_text, scrub_pii
+
+    def norm_branch(t: pa.Table) -> pa.Table:
+        out = normalize_text(t)
+        n = len(out)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "mode": pa.array(["norm"] * n, pa.string()),
+            "out_text": out.column("norm_text"),
+            "out_hash": out.column("norm_hash"),
+            "n_redactions": pa.array([0] * n, pa.int64()),
+        })
+
+    def pii_branch(t: pa.Table) -> pa.Table:
+        import hashlib
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        seeded = [
+            f"{s} reach me at user{i}@example.com or "
+            f"10.0.{i % 256}.7 or +1 555 0{i % 100} 4242"
+            for i, s in zip(ids, texts)
+        ]
+        out = scrub_pii(pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.array(seeded, pa.string()),
+        }))
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "mode": pa.array(["pii"] * len(out), pa.string()),
+            "out_text": out.column("scrubbed"),
+            "out_hash": pa.array(
+                [hashlib.md5(s.encode("utf-8")).hexdigest()
+                 for s in out.column("scrubbed").to_pylist()],
+                pa.string()),
+            "n_redactions": out.column("n_redactions"),
+        })
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    norm = docs.map_batches(norm_branch, batch_format="pyarrow")
+    pii = docs.map_batches(pii_branch, batch_format="pyarrow")
+    return norm.union(pii)
 
 
 def _q_session_windows(sf_dir: str):
@@ -1751,13 +1795,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT 990, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
             FROM documents
         """,
+        # both engines run RE2 (pyarrow.compute / DuckDB), so the
+        # sequential scrub chain is exactly reproducible in SQL
         "norm_text": r"""
-            SELECT doc_id,
-                   regexp_replace(trim(lower(nfc_normalize(text))),
-                                  '\s+', ' ', 'g') AS norm_text,
-                   md5(regexp_replace(trim(lower(nfc_normalize(text))),
-                                      '\s+', ' ', 'g')) AS norm_hash
-            FROM documents
+            WITH norm AS (
+                SELECT doc_id, 'norm' AS mode,
+                       regexp_replace(trim(lower(nfc_normalize(text))),
+                                      '\s+', ' ', 'g') AS out_text,
+                       CAST(0 AS BIGINT) AS n_redactions
+                FROM documents
+            ),
+            seeded AS (
+                SELECT doc_id,
+                       text || ' reach me at user'
+                            || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 or +1 555 0'
+                            || CAST(doc_id % 100 AS VARCHAR)
+                            || ' 4242' AS t
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                           )) AS c1,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM seeded
+            ),
+            s2 AS (
+                SELECT doc_id, c1,
+                       len(regexp_extract_all(t,
+                           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS c2,
+                       regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                      '<IP>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, c1, c2,
+                       len(regexp_extract_all(t,
+                           '\+?\d[\d -]{7,}\d')) AS c3,
+                       regexp_replace(t, '\+?\d[\d -]{7,}\d',
+                                      '<PHONE>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, mode, out_text, md5(out_text) AS out_hash,
+                   n_redactions
+            FROM norm
+            UNION ALL
+            SELECT doc_id, 'pii', t, md5(t),
+                   CAST(c1 + c2 + c3 AS BIGINT)
+            FROM s3
         """,
         "session_windows": """
             WITH marks AS (

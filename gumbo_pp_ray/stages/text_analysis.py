@@ -366,6 +366,44 @@ def normalize_text(batch: pa.Table, *, form: str = "NFC",
     })
 
 
+#: PII redaction rules, applied IN ORDER (later patterns run over the
+#: already-redacted text, so counts compose sequentially).  RE2-only
+#: syntax — pyarrow.compute and DuckDB both run RE2, which is what
+#: makes the scrub exactly SQL-reproducible.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Training-data PII scrub (the C4/ROOTS-style hygiene pass, a
+    public preprocessing convention): redact emails, IPv4 addresses
+    and phone-like digit runs to typed placeholder tokens, in a fixed
+    rule order.  Fully vectorized — one
+    ``pyarrow.compute.replace_substring_regex`` +
+    ``count_substring_regex`` pair per rule over the whole Arrow
+    column, no Python loop.  Output: scrubbed text + per-rule and
+    total redaction counts (the audit numbers a removal pass must
+    report)."""
+    import pyarrow.compute as pc
+    arr = batch.column(text_col)
+    cols: dict = {"doc_id": batch.column("doc_id")}
+    total = None
+    for name, pat, repl in PII_RULES:
+        c = pc.cast(pc.count_substring_regex(arr, pattern=pat),
+                    pa.int64())
+        cols[f"n_{name}"] = c
+        total = c if total is None else pc.add(total, c)
+        arr = pc.replace_substring_regex(arr, pattern=pat,
+                                         replacement=repl)
+    cols["scrubbed"] = arr
+    cols["n_redactions"] = total
+    return pa.table(cols)
+
+
 def chunk_documents(batch: pa.Table, *, chunk_tokens: int = 128,
                     overlap: int = 32) -> pa.Table:
     """Sliding-window chunking — the embed/train preprocessing step:

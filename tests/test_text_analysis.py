@@ -162,3 +162,52 @@ def test_chunk_documents_windows():
     assert not [r for r in out.to_pylist() if r["doc_id"] == 3]
     with pytest.raises(ValueError):
         chunk_documents(t, chunk_tokens=32, overlap=32)
+
+
+def test_scrub_pii_rules_and_counts():
+    import re
+
+    from gumbo_pp_ray.stages.text_analysis import PII_RULES, scrub_pii
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "mail bob.smith+x@corp.example.org now",
+            "host 192.168.0.1 and 10.0.0.255, call +1 555 010 4242",
+            "no pii here at all",
+            "two mails a@b.io c@d.co and ip 8.8.8.8",
+        ],
+    })
+    out = scrub_pii(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["scrubbed"] == "mail <EMAIL> now"
+    assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_phone"],
+            rows[1]["n_redactions"]) == (1, 0, 0, 1)
+    assert rows[2]["scrubbed"] == "host <IP> and <IP>, call <PHONE>"
+    assert rows[2]["n_redactions"] == 3
+    assert rows[3]["scrubbed"] == "no pii here at all"
+    assert rows[3]["n_redactions"] == 0
+    assert rows[4]["scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    # vectorized output equals a sequential Python-re reference
+    for r in t.to_pylist():
+        s, total = r["text"], 0
+        for _, pat, repl in PII_RULES:
+            total += len(re.findall(pat, s))
+            s = re.sub(pat, repl, s)
+        assert rows[r["doc_id"]]["scrubbed"] == s
+        assert rows[r["doc_id"]]["n_redactions"] == total
+
+
+def test_scrub_pii_rule_order_is_sequential():
+    from gumbo_pp_ray.stages.text_analysis import scrub_pii
+
+    # an email with an all-alpha domain next to a standalone IP: the
+    # email rule must not eat the IP, and the phone rule must not
+    # re-match digits inside already-redacted placeholders
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": ["a@b.org 1.2.3.4 +44 20 7946 0958"],
+    })
+    out = scrub_pii(t).to_pylist()[0]
+    assert out["scrubbed"] == "<EMAIL> <IP> <PHONE>"
+    assert (out["n_email"], out["n_ip"], out["n_phone"]) == (1, 1, 1)
