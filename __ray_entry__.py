@@ -362,26 +362,21 @@ def _q_word_jaccard(sf_dir: str):
 
 
 def _q_doc_annotations(sf_dir: str):
-    """Language-ID + winnowing fingerprints folded into one per-doc
-    annotation pass (both stateful models built once per actor;
-    rows-only — heuristic langid and rolling-hash winnowing have no
-    SQL equivalents)."""
+    """Stopword-profile language ID per document — now EXACT: the
+    heuristic (ordered stopword-hit argmax with a CJK char-range
+    short-circuit, LangId at text_analysis.py:98) is reproduced in
+    SQL with regexp_split tokenization + list_filter hit counts, so
+    the driver hash-pins the actual prediction, not just row counts.
+    The winnowing-fingerprint half of the old compound (CRC rolling
+    hash, not SQL-expressible) moved to the simhash_all sketch
+    family."""
     class Annotate:
         def __init__(self):
-            from gumbo_pp_ray.stages.text_analysis import (
-                Fingerprint, LangId,
-            )
+            from gumbo_pp_ray.stages.text_analysis import LangId
             self.lang = LangId()
-            self.fp = Fingerprint()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            a = self.lang(batch)
-            b = self.fp(batch)
-            return pa.table({
-                "doc_id": batch.column("doc_id"),
-                "lang_pred": a.column("lang_pred"),
-                "n_fingerprints": b.column("n_fingerprints"),
-            })
+            return self.lang(batch)
 
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
         Annotate, batch_format="pyarrow", concurrency=_qconc())
@@ -390,18 +385,43 @@ def _q_doc_annotations(sf_dir: str):
 def _q_simhash_all(sf_dir: str):
     """SimHash surface folded into one query: per-doc 64-bit sketches
     (kind='hash': a=doc_id, v=signed bit pattern) plus bit-band LSH
-    near-dup pairs (kind='pair': a/b=doc pair, v=hamming).  Rows-only
-    by nature (bit sketches)."""
-    from gumbo_pp_ray.stages.dedup import SimHash, simhash_neardup_pairs
+    near-dup pairs (kind='pair': a/b=doc pair, v=hamming) plus
+    winnowing fingerprint counts (kind='fp': a=doc_id,
+    v=n_fingerprints — moved here from doc_annotations so langid
+    could go exact; fingerprints are CRC-rolling sketches like the
+    rest of this family).  Rows-only by nature (bit sketches)."""
+    from gumbo_pp_ray.stages.dedup import simhash_neardup_pairs
+
+    class Sketches:
+        """One per-doc pass emitting BOTH sketch kinds (simhash bits +
+        fingerprint counts) — one actor pool and one read instead of
+        two (a third union branch at 8 driver CPUs starved the
+        executor; two branches are the proven shape)."""
+
+        def __init__(self):
+            from gumbo_pp_ray.stages.dedup import SimHash
+            from gumbo_pp_ray.stages.text_analysis import Fingerprint
+            self.sh = SimHash()
+            self.fp = Fingerprint()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").cast("int64")
+            h = self.sh(t)
+            f = self.fp(t)
+            n = len(t)
+            return pa.table({
+                "a": pa.chunked_array([ids, ids]),
+                "b": pa.array([-1] * (2 * n), pa.int64()),
+                "v": pa.chunked_array([
+                    h.column("simhash"),
+                    f.column("n_fingerprints").cast(pa.int64()),
+                ]),
+                "kind": pa.array(["hash"] * n + ["fp"] * n,
+                                 pa.string()),
+            })
+
     hashes = _docs(sf_dir).map_batches(
-        SimHash, batch_format="pyarrow",
-        concurrency=_qconc()).map_batches(
-        lambda t: pa.table({
-            "a": t.column("doc_id").cast("int64"),
-            "b": pa.array([-1] * len(t), pa.int64()),
-            "v": t.column("simhash"),
-            "kind": pa.array(["hash"] * len(t), pa.string()),
-        }), batch_format="pyarrow")
+        Sketches, batch_format="pyarrow", concurrency=_qconc())
     pairs = simhash_neardup_pairs(_docs(sf_dir), max_hamming=3) \
         .map_batches(
         lambda t: pa.table({
@@ -414,8 +434,29 @@ def _q_simhash_all(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs, BOTH deployment shapes folded into
+    one compound (freeing a contract slot for substring_dedup):
+    mode='full' re-hashes the whole corpus; mode='incr' dedupes only
+    docs >= 250 against a persisted signature index of docs < 250
+    (the 100 TB shape: corpus signatures are kept, only the new shard
+    is hashed).  Rows-only — MinHash estimates are probabilistic."""
+    import shutil
     from gumbo_pp_ray.stages.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+    from gumbo_pp_ray.stages.incremental import (
+        minhash_lsh_pairs_incremental, write_signature_index,
+    )
+    full = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).map_batches(
+        _tag_lit("mode", "full"), batch_format="pyarrow")
+    base = _docs(sf_dir, ("doc_id", "text")).filter(expr="doc_id < 250")
+    new = _docs(sf_dir, ("doc_id", "text")).filter(expr="doc_id >= 250")
+    idx = os.path.join("/tmp/gumbo_q_sigidx",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(idx, ignore_errors=True)
+    write_signature_index(base, idx, concurrency=_qconc())
+    incr = minhash_lsh_pairs_incremental(
+        new, idx, threshold=0.5, concurrency=_qconc()).map_batches(
+        _tag_lit("mode", "incr"), batch_format="pyarrow")
+    return full.union(incr)
 
 
 def _read_query_embeddings(sf_dir: str, n: int = 10) -> dict:
@@ -1015,23 +1056,16 @@ def _q_decontam(sf_dir: str):
     return bcast.union(shuf)
 
 
-def _q_minhash_pairs_incr(sf_dir: str):
-    """Incremental near-dup: docs >= 250 deduped against a persisted
-    signature index of docs < 250 (the 100 TB shape: the corpus's
-    signatures are kept, only the new shard is hashed). Rows-only —
-    MinHash estimates are probabilistic like minhash_pairs."""
-    import shutil
-    from gumbo_pp_ray.stages.incremental import (
-        minhash_lsh_pairs_incremental, write_signature_index,
-    )
-    base = _docs(sf_dir, ("doc_id", "text")).filter(expr="doc_id < 250")
-    new = _docs(sf_dir, ("doc_id", "text")).filter(expr="doc_id >= 250")
-    idx = os.path.join("/tmp/gumbo_q_sigidx",
-                       os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(idx, ignore_errors=True)
-    write_signature_index(base, idx, concurrency=_qconc())
-    return minhash_lsh_pairs_incremental(new, idx, threshold=0.5,
-                                         concurrency=_qconc())
+def _q_substring_dedup(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. ACL'22 design,
+    distributed token-k-gram form): every duplicated 8-token gram
+    keeps only its (doc_id, pos)-minimal occurrence; other
+    occurrences' positions are removed from their docs.  EXACT —
+    DuckDB recomputes the whole pipeline (gram explode → global
+    first-occurrence ranking → covered-position union → rebuild)."""
+    from gumbo_pp_ray.stages.substring import substring_dedup
+    return substring_dedup(_docs(sf_dir, ("doc_id", "text")), k=8,
+                           num_partitions=8)
 
 
 def _q_samples(sf_dir: str):
@@ -1244,9 +1278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_by_lang": _q_spans_by_lang,
         # dedup / similarity
         "dedup_exact": _q_dedup_exact,
-        "minhash_pairs": _q_minhash_pairs,      # rows-only (probabilistic)
-        "minhash_pairs_incr": _q_minhash_pairs_incr,  # rows-only
-        "simhash_all": _q_simhash_all,          # rows-only (bit sketch)
+        "minhash_pairs": _q_minhash_pairs,      # rows-only (full+incr)
+        "substring_dedup": _q_substring_dedup,
+        "simhash_all": _q_simhash_all,          # rows-only (sketches)
         "word_jaccard": _q_word_jaccard,
         "ann_topk": _q_ann_topk,
         "knn_graph": _q_knn_graph,
@@ -1256,7 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / corpus stats
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
-        "doc_annotations": _q_doc_annotations,  # rows-only (heuristics)
+        "doc_annotations": _q_doc_annotations,  # exact (SQL langid)
         "repetition_stats": _q_repetition_stats,
         "lang_profile": _q_lang_profile,
         "top_tokens_by_lang": _q_top_tokens_by_lang,
@@ -1794,6 +1828,101 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 990, CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
             FROM documents
+        """,
+        # LangId (text_analysis.py:98) reproduced in SQL: lower+split
+        # tokens, stopword-profile hit counts, CJK char-range
+        # short-circuit, ordered argmax (earlier profile wins ties —
+        # the >= chain encodes the dict iteration order en,fr,es,de,zh)
+        "doc_annotations": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, len(tk) AS n,
+                regexp_matches(substr(text, 1, 200),
+                               '[\x{4e00}-\x{9fff}]') AS cjk,
+                len(list_filter(tk, x -> x IN ('the','and','of','to',
+                  'a','in','is','that','it','was'))) AS h_en,
+                len(list_filter(tk, x -> x IN ('le','la','les','de',
+                  'et','un','une','est','que','dans'))) AS h_fr,
+                len(list_filter(tk, x -> x IN ('el','la','los','de',
+                  'y','un','una','es','que','en'))) AS h_es,
+                len(list_filter(tk, x -> x IN ('der','die','das','und',
+                  'ein','eine','ist','nicht','zu'))) AS h_de,
+                len(list_filter(tk, x -> x IN ('的','了','是','在','我',
+                  '有','和','不','人','这'))) AS h_zh
+              FROM t
+            )
+            SELECT doc_id,
+              CASE
+                WHEN n = 0 THEN 'und'
+                WHEN cjk THEN 'zh'
+                WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0
+                     AND h_zh = 0 THEN 'und'
+                WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de
+                     AND h_en >= h_zh THEN 'en'
+                WHEN h_fr >= h_es AND h_fr >= h_de AND h_fr >= h_zh
+                     THEN 'fr'
+                WHEN h_es >= h_de AND h_es >= h_zh THEN 'es'
+                WHEN h_de >= h_zh THEN 'de'
+                ELSE 'zh'
+              END AS lang_pred
+            FROM h
+        """,
+        # the full substring-dedup pipeline recomputed in SQL: gram
+        # explode -> global (doc_id, pos) first-occurrence ranking ->
+        # covered-position union -> per-doc rebuild.  1-based list
+        # positions in SQL vs 0-based in the engine cancel out (both
+        # orderings and spans are position-shift-invariant).
+        "substring_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     generate_subscripts(tk, 1) AS p
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, p,
+                     array_to_string(tk[p : p + 8 - 1], ' ') AS g
+              FROM (SELECT doc_id, tk, generate_subscripts(tk, 1) AS p
+                    FROM toks)
+              WHERE p + 8 - 1 <= len(tk)
+            ),
+            ranked AS (
+              SELECT doc_id, p,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY doc_id, p) AS rn
+              FROM grams
+            ),
+            removed AS (
+              SELECT DISTINCT r.doc_id, r.p + t.u AS rp
+              FROM ranked r CROSS JOIN range(8) t(u)
+              WHERE r.rn > 1
+            ),
+            kept AS (
+              SELECT x.doc_id,
+                     string_agg(x.tok, ' ' ORDER BY x.p) AS text_kept,
+                     count(*) AS n_kept
+              FROM pos x LEFT JOIN removed r
+                ON r.doc_id = x.doc_id AND r.rp = x.p
+              WHERE r.doc_id IS NULL
+              GROUP BY x.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(k.text_kept, '') AS text,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens_in,
+                   CAST(len(t.tk) - coalesce(k.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM toks t LEFT JOIN kept k USING (doc_id)
         """,
         # both engines run RE2 (pyarrow.compute / DuckDB), so the
         # sequential scrub chain is exactly reproducible in SQL
