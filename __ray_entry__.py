@@ -1062,10 +1062,24 @@ def _q_substring_dedup(sf_dir: str):
     keeps only its (doc_id, pos)-minimal occurrence; other
     occurrences' positions are removed from their docs.  EXACT —
     DuckDB recomputes the whole pipeline (gram explode → global
-    first-occurrence ranking → covered-position union → rebuild)."""
-    from gumbo_pp_ray.stages.substring import substring_dedup
-    return substring_dedup(_docs(sf_dir, ("doc_id", "text")), k=8,
-                           num_partitions=8)
+    first-occurrence ranking → covered-position union → rebuild) —
+    and a PLAN DISCRIMINATOR: both reassembly exchanges (the
+    broadcast fast path and the cogroup scale shape) run under the
+    same oracle body."""
+    from gumbo_pp_ray.stages.substring import (
+        substring_rebuild, substring_removals,
+    )
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    removals = substring_removals(docs, k=8,
+                                  num_partitions=8).materialize()
+
+    def run(plan):
+        out = substring_rebuild(docs, removals, plan=plan,
+                                num_partitions=8)
+        return out.map_batches(_tag_lit("plan", plan),
+                               batch_format="pyarrow")
+
+    return run("broadcast").union(run("cogroup"))
 
 
 def _q_samples(sf_dir: str):
@@ -1921,8 +1935,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.text_kept, '') AS text,
                    CAST(len(t.tk) AS BIGINT) AS n_tokens_in,
                    CAST(len(t.tk) - coalesce(k.n_kept, 0) AS BIGINT)
-                     AS n_removed
+                     AS n_removed,
+                   p.plan
             FROM toks t LEFT JOIN kept k USING (doc_id)
+                 CROSS JOIN (VALUES ('broadcast'),
+                                    ('cogroup')) AS p(plan)
         """,
         # both engines run RE2 (pyarrow.compute / DuckDB), so the
         # sequential scrub chain is exactly reproducible in SQL

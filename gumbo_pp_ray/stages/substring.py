@@ -117,16 +117,18 @@ def _rebuild_docs(group: pa.Table) -> pa.Table:
     rem_t = group.filter(pa.array(~is_doc))
     rdocs = rem_t.column("doc_id").to_numpy(zero_copy_only=False)
     rpos = rem_t.column("rpos").to_numpy(zero_copy_only=False)
+    return _apply_removals(docs_t, rdocs, rpos)
+
+
+def _apply_removals(docs_t: pa.Table, rdocs: np.ndarray,
+                    rpos: np.ndarray) -> pa.Table:
+    """Docs table + (doc_id, rpos) removal arrays (any order) →
+    cleaned docs.  Shared by both reassembly plans."""
     order = np.lexsort((rpos, rdocs))
     rdocs, rpos = rdocs[order], rpos[order]
-    starts = np.searchsorted(rdocs,
-                             docs_t.column("doc_id")
-                             .to_numpy(zero_copy_only=False),
-                             side="left")
-    ends = np.searchsorted(rdocs,
-                           docs_t.column("doc_id")
-                           .to_numpy(zero_copy_only=False),
-                           side="right")
+    dids = docs_t.column("doc_id").to_numpy(zero_copy_only=False)
+    starts = np.searchsorted(rdocs, dids, side="left")
+    ends = np.searchsorted(rdocs, dids, side="right")
     out_id, out_text, out_in, out_rm = [], [], [], []
     texts = docs_t.column("text").to_pylist()
     ids = docs_t.column("doc_id").to_pylist()
@@ -151,20 +153,103 @@ def _rebuild_docs(group: pa.Table) -> pa.Table:
     })
 
 
-def substring_dedup(ds, *, k: int = 8, num_partitions: int = 16):
+class _BroadcastRebuild:
+    """Broadcast-plan reassembly actor: the full removal set is
+    fetched ONCE per actor as two sorted numpy columns; each doc
+    batch is cleaned with vectorized searchsorted slicing."""
+
+    def __init__(self, removals_ref):
+        import ray
+        rdocs, rpos = ray.get(removals_ref)
+        self.rdocs = rdocs
+        self.rpos = rpos
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs_t = pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": batch.column("text"),
+        })
+        return _apply_removals(docs_t, self.rdocs, self.rpos)
+
+
+def substring_dedup(ds, *, k: int = 8, num_partitions: int = 16,
+                    plan: str = "auto",
+                    broadcast_max_removals: int = 4_000_000,
+                    concurrency=None):
     """Dataset(doc_id, text) → Dataset(doc_id, text, n_tokens_in,
     n_removed) with every duplicated token k-gram reduced to its
-    globally-first occurrence."""
+    globally-first occurrence.
+
+    ``plan`` picks the reassembly exchange (cost-based like
+    stages/dedup.py / stages/graph.py):
+
+    * ``"auto"``: ``"broadcast"`` when the removal-position count is
+      at most ``broadcast_max_removals`` (≈64 MB of two int64
+      columns — the same 4M bound as graph.connected_components'
+      label broadcast), else ``"cogroup"``.  The count is read from
+      the materialized removal blocks' metadata, not a second pass.
+    * ``"broadcast"``: removals shipped ONCE via ``ray.put`` to a
+      rebuild actor pool; docs flow through a pure map — no third
+      shuffle.  The fast path for lightly-duplicated corpora.
+    * ``"cogroup"``: union-tagged docs + removals hash-partitioned by
+      doc_id — never materializes the removal set anywhere central;
+      the only shape that survives duplication-heavy crawls at
+      10^12 tokens (30-50% duplicated content ⇒ removal rows on the
+      order of the corpus)."""
+    removals = substring_removals(ds, k=k,
+                                  num_partitions=num_partitions)
+    return substring_rebuild(
+        ds, removals, plan=plan,
+        broadcast_max_removals=broadcast_max_removals,
+        num_partitions=num_partitions, concurrency=concurrency)
+
+
+def substring_removals(ds, *, k: int = 8, num_partitions: int = 16):
+    """Stage 1+2 alone: Dataset(doc_id, text) → (doc_id, rpos)
+    removal positions.  Exposed so several reassembly plans (or an
+    audit that only wants the removal mass) can share ONE gram
+    exchange."""
     import functools
 
     grams = ds.map_batches(
         functools.partial(_gram_occurrences, k=k,
                           num_partitions=num_partitions),
         batch_format="pyarrow")
-    removals = grams.groupby(
+    return grams.groupby(
         "bucket", num_partitions=num_partitions).map_groups(
         functools.partial(_bucket_removals, k=k),
         batch_format="pyarrow")
+
+
+def substring_rebuild(ds, removals, *, plan: str = "auto",
+                      broadcast_max_removals: int = 4_000_000,
+                      num_partitions: int = 16, concurrency=None):
+    """Stage 3 alone: apply a removal set to the docs under the
+    chosen exchange plan (see ``substring_dedup``)."""
+    import ray
+
+    if plan != "cogroup":
+        removals = removals.materialize()
+    if plan == "auto":
+        plan = ("broadcast"
+                if removals.count() <= broadcast_max_removals
+                else "cogroup")
+    if plan == "broadcast":
+        batches = list(removals.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+        rem_t = (pa.concat_tables(batches, promote_options="default")
+                 if batches else _EMPTY_REMOVALS)
+        ref = ray.put((
+            rem_t.column("doc_id").to_numpy(zero_copy_only=False),
+            rem_t.column("rpos").to_numpy(zero_copy_only=False),
+        ))
+        if concurrency is None:
+            from ..state.sizing import default_concurrency
+            concurrency = default_concurrency()
+        return ds.map_batches(
+            _BroadcastRebuild,
+            fn_constructor_kwargs={"removals_ref": ref},
+            batch_format="pyarrow", concurrency=concurrency)
 
     def tag_docs(t: pa.Table) -> pa.Table:
         return pa.table({

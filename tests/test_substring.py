@@ -80,3 +80,35 @@ def test_substring_dedup_pipeline(ray_session):
     assert out[40]["text"] == "tiny doc" and out[40]["n_removed"] == 0
     # within-doc repeat: second copy removed
     assert out[41]["n_removed"] >= 8
+
+
+def test_substring_dedup_plan_equivalence(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    vocab = [f"v{i}" for i in range(25)]
+    passage = " ".join(f"p{i}" for i in range(10))
+    docs = {}
+    for did in range(30):
+        words = list(rng.choice(vocab, size=25))
+        if did % 3 == 0:
+            words[5:5] = passage.split()
+        docs[did] = " ".join(words)
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": [docs[d] for d in sorted(docs)],
+    })
+    outs = {}
+    for plan in ("broadcast", "cogroup", "auto"):
+        out = substring_dedup(ray.data.from_arrow(t), k=8,
+                              num_partitions=4, plan=plan).take_all()
+        outs[plan] = sorted((r["doc_id"], r["text"], r["n_removed"])
+                            for r in out)
+    assert outs["broadcast"] == outs["cogroup"] == outs["auto"]
+    assert any(rm for _, _, rm in outs["broadcast"])
+    # auto with a zero broadcast budget must take the cogroup path
+    out = substring_dedup(ray.data.from_arrow(t), k=8,
+                          num_partitions=4, plan="auto",
+                          broadcast_max_removals=0).take_all()
+    assert sorted((r["doc_id"], r["text"], r["n_removed"])
+                  for r in out) == outs["broadcast"]
