@@ -47,7 +47,10 @@ def add_content_hash(batch: pa.Table, *, normalize: bool = False
 
 
 def keep_first_in_group(group: pa.Table) -> pa.Table:
-    """map_groups reducer: deterministic winner = min(doc_id)."""
+    """Per-hash reducer: deterministic winner = min(doc_id).  Kept as
+    the semantic reference / unit-test surface; the pipeline itself
+    runs the vectorized bucket form (_exact_merge_bucket) — one UDF
+    call per COARSE bucket of hashes, not one per distinct hash."""
     ids = group.column("doc_id")
     m = pa.compute.min(ids).as_py()
     return pa.table({
@@ -57,14 +60,80 @@ def keep_first_in_group(group: pa.Table) -> pa.Table:
     })
 
 
-def exact_dedup(ds, *, normalize: bool = False):
-    """documents Dataset → (content_hash, doc_id=min, n_dups)."""
+def _hash_str_bucket(col, num_buckets: int) -> np.ndarray:
+    """md5-hex string column → int64 bucket, vectorized: the 32 hex
+    chars are viewed as 4 uint64 words and XOR-folded (the digest is
+    already uniform, no further mixing needed)."""
+    s = np.ascontiguousarray(
+        col.to_numpy(zero_copy_only=False).astype("S32"))
+    if len(s) == 0:
+        return np.empty(0, dtype=np.int64)
+    v = s.view(np.uint64).reshape(len(s), 4)
+    return ((v[:, 0] ^ v[:, 1] ^ v[:, 2] ^ v[:, 3])
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _exact_partial(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    """Per-block combiner (Arrow C++ hash group-by): one row per
+    distinct hash per block BEFORE the shuffle — (hash, min id, count)
+    plus the coarse merge bucket."""
+    t = batch.group_by("content_hash").aggregate(
+        [("doc_id", "min"), ("doc_id", "count")])
+    return t.append_column(
+        "bucket", pa.array(_hash_str_bucket(t.column("content_hash"),
+                                            num_buckets)))
+
+
+def _exact_merge_bucket(group: pa.Table) -> pa.Table:
+    """Merge one bucket's partials, vectorized: byte-sort the hashes,
+    then per-run min/sum via ``np.minimum/add.reduceat`` — zero
+    per-hash Python calls."""
+    h = np.ascontiguousarray(group.column("content_hash")
+                             .to_numpy(zero_copy_only=False).astype("S32"))
+    order = np.argsort(h, kind="stable")
+    h_s = h[order]
+    mins = group.column("doc_id_min").to_numpy(
+        zero_copy_only=False)[order]
+    cnts = group.column("doc_id_count").to_numpy(
+        zero_copy_only=False)[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], h_s[1:] != h_s[:-1])))
+    return pa.table({
+        "content_hash": group.column("content_hash").take(
+            pa.array(order[starts], pa.int64())),
+        "doc_id": pa.array(np.minimum.reduceat(mins, starts)),
+        "n_dups": pa.array(np.add.reduceat(cnts, starts)
+                           .astype(np.int64)),
+    })
+
+
+def exact_dedup(ds, *, normalize: bool = False,
+                num_partitions: int | None = None,
+                num_buckets: int | None = None):
+    """documents Dataset → (content_hash, doc_id=min, n_dups).
+
+    Shape: vectorized hash column → per-block Arrow combiner (one row
+    per distinct hash per block) → ONE shuffle keyed on a coarse hash
+    bucket → vectorized per-bucket merge (sort + ``reduceat``).
+    Bucket count targets ~100k distinct hashes per merge call (~5 MB),
+    sized from ``ds.count()`` when not given (metadata-fast for
+    parquet reads) — so the merge stays a handful of numpy ops per
+    task at any corpus size, never a Python call per distinct hash."""
     import functools
+    if num_buckets is None or num_partitions is None:
+        n = ds.count()
+        if num_buckets is None:
+            num_buckets = int(min(1 << 16, max(64, n // 100_000)))
+        if num_partitions is None:
+            num_partitions = max(8, min(65536, -(-n // 10_000)))
     ds = ds.map_batches(
         functools.partial(add_content_hash, normalize=normalize),
         batch_format="pyarrow")
-    return ds.groupby("content_hash").map_groups(
-        keep_first_in_group, batch_format="pyarrow")
+    ds = ds.map_batches(
+        functools.partial(_exact_partial, num_buckets=num_buckets),
+        batch_format="pyarrow")
+    return ds.groupby("bucket", num_partitions=num_partitions).map_groups(
+        _exact_merge_bucket, batch_format="pyarrow")
 
 
 # ------------------------------------------------------ MinHash + LSH
@@ -109,76 +178,144 @@ class MinHasher:
         return hx.min(axis=1)
 
 
-class MinHashSignatures:
-    """map_batches actor: text → signature (list<uint64 as int64>).
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _cached_hasher(num_perm: int, shingle_words: int,
+                   seed: int) -> "MinHasher":
+    """Per-worker-process hasher cache: the state is two num_perm-
+    element uint64 arrays (microseconds to build), so the signature
+    stage runs as ORDINARY TASKS — a fixed actor pool here buys
+    nothing but spin-up latency (measured ~2-3 s per pipeline run at
+    sf0.1 for a pool that hashes for <1 s)."""
+    return MinHasher(num_perm, shingle_words, seed)
+
+
+def minhash_signatures(batch: pa.Table, *, num_perm: int = 128,
+                       shingle_words: int = 3, seed: int = 42
+                       ) -> pa.Table:
+    """map_batches task: text → signature (list<uint64 as int64>).
 
     Vectorized across the whole batch: ONE (P x total_shingles)
     permuted-hash matrix + per-doc segment minima
-    (``np.minimum.reduceat``) instead of a per-document outer product.
+    (``np.minimum.reduceat``) instead of a per-document outer product;
+    the output list column is built zero-copy from the (n, P) matrix
+    (``ListArray.from_arrays``), never via per-row Python lists.
     """
+    mh = _cached_hasher(num_perm, shingle_words, seed)
+    texts = batch.column("text").to_pylist()
+    shingle_arrays = [mh.shingles(t) for t in texts]
+    counts = np.asarray([len(s) for s in shingle_arrays],
+                        dtype=np.int64)
+    n = len(texts)
+    out = np.zeros((n, mh.num_perm), dtype=np.int64)
+    nonempty = counts > 0
+    if nonempty.any():
+        x = np.concatenate([s for s in shingle_arrays if len(s)])
+        # (P, total) permuted hashes; modest memory: P*total*8B
+        hx = (np.outer(mh.a, x) + mh.b[:, None]) % _MERSENNE
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(counts[nonempty][:-1], out=starts[1:])
+        mins = np.minimum.reduceat(hx, starts, axis=1)  # (P, docs)
+        out[nonempty] = mins.T.astype(np.int64)
+    offsets = pa.array(
+        np.arange(0, (n + 1) * mh.num_perm, mh.num_perm,
+                  dtype=np.int32))
+    sig = pa.ListArray.from_arrays(offsets, pa.array(out.reshape(-1)))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "signature": sig,
+    })
+
+
+class MinHashSignatures:
+    """Class form of ``minhash_signatures`` (actor-pool compatible);
+    the pipelines pass the FUNCTION so the stage runs as tasks."""
 
     def __init__(self, num_perm: int = 128, shingle_words: int = 3,
                  seed: int = 42):
-        self.mh = MinHasher(num_perm, shingle_words, seed)
+        self._kw = dict(num_perm=num_perm, shingle_words=shingle_words,
+                        seed=seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mh = self.mh
-        texts = batch.column("text").to_pylist()
-        shingle_arrays = [mh.shingles(t) for t in texts]
-        counts = np.asarray([len(s) for s in shingle_arrays],
-                            dtype=np.int64)
-        out = np.zeros((len(texts), mh.num_perm), dtype=np.int64)
-        nonempty = counts > 0
-        if nonempty.any():
-            x = np.concatenate([s for s in shingle_arrays if len(s)])
-            # (P, total) permuted hashes; modest memory: P*total*8B
-            hx = (np.outer(mh.a, x) + mh.b[:, None]) % _MERSENNE
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(counts[nonempty][:-1], out=starts[1:])
-            mins = np.minimum.reduceat(hx, starts, axis=1)  # (P, docs)
-            out[nonempty] = mins.T.astype(np.int64)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "signature": pa.array(out.tolist(), pa.list_(pa.int64())),
-        })
+        return minhash_signatures(batch, **self._kw)
+
+
+_FNV_OFFSET = np.uint64(0xcbf29ce484222325)
+_FNV_PRIME = np.uint64(0x100000001b3)
 
 
 def lsh_bands(batch: pa.Table, *, bands: int = 16, rows: int = 8,
-              carry_signature: bool = True) -> pa.Table:
-    """Explode signatures to LSH band rows; band_key =
-    "band_id:md5(band values)" — the bucket join key. Stateless
-    function stage (NOT an actor pool — stacking a second fixed pool
-    in the pipeline can reserve every CPU and starve the shuffle; see
-    state/sizing.py).
+              carry_signature: bool = True,
+              num_buckets: int | None = None) -> pa.Table:
+    """Explode signatures to LSH band rows; band_key = int64 FNV-1a
+    hash of (band_id, band slot values) — the bucket join key.
+    Fully vectorized: ONE (n x bands) numpy hash fold, no per-row
+    Python.  A 64-bit hash can collide where the old per-band md5
+    couldn't, but a collision only ADDS a candidate pair that full-
+    signature verification then filters — recall is unaffected and
+    precision is restored downstream.  Stateless function stage (NOT
+    an actor pool — stacking a second fixed pool in the pipeline can
+    reserve every CPU and starve the shuffle; see state/sizing.py).
 
     ``carry_signature=False`` emits only (band_key, doc_id) — the
     scale shape: the exchange shrinks from ~bands x signature bytes
     per doc (16 KB/doc at 128 perms) to ~16 B/doc, and signatures are
-    joined back over the (small) candidate set afterwards."""
-    ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("signature").to_pylist()
-    out_key, out_id, out_sig = [], [], []
-    for i, sig in zip(ids, sigs):
-        for b in range(bands):
-            chunk = sig[b * rows:(b + 1) * rows]
-            h = hashlib.md5(
-                np.asarray(chunk, dtype=np.int64).tobytes()).hexdigest()[:16]
-            out_key.append(f"{b}:{h}")
-            out_id.append(i)
-            if carry_signature:
-                out_sig.append(sig)
-    cols = {
-        "band_key": pa.array(out_key, pa.string()),
-        "doc_id": pa.array(out_id),
-    }
+    joined back over the (small) candidate set afterwards.
+
+    ``num_buckets`` adds an int64 ``bucket`` column (band_key mod
+    num_buckets): the COARSE shuffle key — grouping on it lets the
+    bucket reducers run once per bucket over many band keys
+    (vectorized run detection) instead of once per distinct band key
+    (a Python/Arrow UDF call per tiny group, the round-4 bottleneck:
+    ~19 s CPU at 80k band rows)."""
+    n = batch.num_rows
+    cols: dict = {}
+    if n == 0:
+        cols["band_key"] = pa.array([], pa.int64())
+        cols["doc_id"] = pa.array([], pa.int64())
+        if carry_signature:
+            cols["signature"] = pa.array([], pa.list_(pa.int64()))
+        if num_buckets:
+            cols["bucket"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    mat = _sig_matrix(batch.column("signature"))
+    chunks = mat.reshape(n, bands, rows).astype(np.uint64)
+    h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+    # band id folded in first: identical slot values in different
+    # bands land under different keys
+    h = (h ^ np.arange(bands, dtype=np.uint64)[None, :]) * _FNV_PRIME
+    for r in range(rows):
+        h = (h ^ chunks[:, :, r]) * _FNV_PRIME
+    flat = h.reshape(-1)                     # doc-major: d0 b0..bN, d1 ...
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    cols["band_key"] = pa.array(flat.view(np.int64))
+    cols["doc_id"] = pa.array(np.repeat(ids, bands))
     if carry_signature:
-        cols["signature"] = pa.array(out_sig, pa.list_(pa.int64()))
+        idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        cols["signature"] = batch.column("signature").take(pa.array(idx))
+    if num_buckets:
+        cols["bucket"] = pa.array(
+            (flat % np.uint64(num_buckets)).astype(np.int64))
     return pa.table(cols)
 
 
 #: Quadratic pair emission is bounded to this many bucket members; the
-#: overflow members are star-linked instead (see _star_overflow).
+#: overflow members are star-linked instead (see _run_pair_idx).
 HOT_BUCKET_CAP = 256
+
+
+def _band_bucket_count(n_band_rows: int | None,
+                       num_partitions: int | None) -> int:
+    """Coarse-bucket count for the band-row shuffle: target ~100k band
+    rows per reducer call (a few MB sorted + a handful of numpy ops) —
+    few enough buckets that per-call overhead vanishes, small enough
+    that one bucket always fits a worker heap.  Falls back to
+    8 x num_partitions when the row count is unknown."""
+    if n_band_rows:
+        return int(min(1 << 20, max(64, n_band_rows // 100_000)))
+    return max(64, 8 * (num_partitions or 8))
 
 # Ceiling for the verify="local" / pair_dedup="local" shortcuts: above
 # this, minhash_lsh_pairs refuses them (the distributed plans are the
@@ -186,91 +323,164 @@ HOT_BUCKET_CAP = 256
 LOCAL_PATH_MAX_DOCS = 1_000_000
 
 
-def _star_overflow(ids: list) -> tuple[list, list]:
-    """Hot-bucket policy: members beyond HOT_BUCKET_CAP are linked to
-    the bucket minimum (one pair each) instead of quadratically to
-    every other member.  No member is silently dropped — every doc in
-    the bucket appears in at least one candidate pair, so
-    duplicate-CLUSTER recall is preserved (components stay connected
-    through the hub) while the pair count stays linear in bucket size.
-    Pairs between two overflow members are not emitted; for the
-    boilerplate-heavy buckets this cap targets, those docs are linked
-    via the hub and downstream verification confirms each edge."""
-    hub = ids[0]
-    a_out, b_out = [], []
-    for d in ids[HOT_BUCKET_CAP:]:
-        a_out.append(hub)
-        b_out.append(d)
-    return a_out, b_out
+_TRIU_CACHE: dict = {}
+
+
+def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached upper-triangle index pairs (i<j) for run sizes up to the
+    hot-bucket cap — runs of 2 dominate real buckets, so the cache is
+    effectively a handful of entries."""
+    t = _TRIU_CACHE.get(n)
+    if t is None:
+        t = np.triu_indices(n, k=1)
+        if len(_TRIU_CACHE) < 1024:
+            _TRIU_CACHE[n] = t
+    return t
+
+
+def _sorted_runs(group: pa.Table):
+    """One COARSE bucket of band rows → sorted, de-duplicated view
+    plus equal-band_key run boundaries.
+
+    Returns ``(sel, ids_s, newf_s, starts, ends)``: ``sel`` maps each
+    kept (band_key, doc_id)-distinct row back to its original group
+    row (for signature lookup), ``ids_s`` the doc ids in (band_key,
+    doc_id) order, ``newf_s`` the is_new flags (None when the column
+    is absent — the non-incremental paths), and ``starts``/``ends``
+    the per-band_key run bounds.  Duplicate (band_key, doc_id) rows
+    collapse to ONE row; with is_new present the NEW row wins (a
+    re-indexed doc keeps its new signature — incremental's new-wins
+    rule).  Missing band_key (unit-test convenience) treats the whole
+    group as a single run."""
+    n = group.num_rows
+    names = group.column_names
+    if "band_key" in names:
+        keys = group.column("band_key").to_numpy(zero_copy_only=False)
+    else:
+        keys = np.zeros(n, dtype=np.int64)
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    if "is_new" in names:
+        newf = group.column("is_new").to_numpy(
+            zero_copy_only=False).astype(bool)
+        order = np.lexsort((~newf, ids, keys))   # new first among dups
+    else:
+        newf = None
+        order = np.lexsort((ids, keys))
+    keys_s = keys[order]
+    ids_s = ids[order]
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        keep[1:] = ((keys_s[1:] != keys_s[:-1])
+                    | (ids_s[1:] != ids_s[:-1]))
+    sel = order[keep]
+    keys_s = keys_s[keep]
+    ids_s = ids_s[keep]
+    newf_s = newf[sel] if newf is not None else None
+    m = len(keys_s)
+    if m == 0:
+        z = np.empty(0, dtype=np.int64)
+        return sel, ids_s, newf_s, z, z
+    starts = np.flatnonzero(
+        np.concatenate(([True], keys_s[1:] != keys_s[:-1])))
+    ends = np.append(starts[1:], m)
+    return sel, ids_s, newf_s, starts, ends
+
+
+def _run_pair_idx(starts: np.ndarray, ends: np.ndarray,
+                  newf_s: np.ndarray | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate index pairs over every multi-member run.
+
+    Hot-bucket policy: all-pairs over the first HOT_BUCKET_CAP
+    id-sorted members; members beyond the cap are star-linked to the
+    run minimum (one pair each) instead of quadratically to every
+    other member.  No member is silently dropped — every doc appears
+    in at least one candidate pair, so duplicate-CLUSTER recall is
+    preserved (components stay connected through the hub) while the
+    pair count stays linear in bucket size.  With ``newf_s``
+    (incremental), pairs where BOTH sides are old are suppressed and
+    only NEW overflow members star-link (old-old pairs were already
+    emitted by the ingest that indexed them)."""
+    a_parts: list = []
+    b_parts: list = []
+    lens = ends - starts
+    for ri in np.flatnonzero(lens >= 2):
+        s = int(starts[ri])
+        length = int(lens[ri])
+        head = length if length <= HOT_BUCKET_CAP else HOT_BUCKET_CAP
+        ii, jj = _triu(head)
+        ai = ii + s
+        bi = jj + s
+        if newf_s is not None:
+            k = newf_s[ai] | newf_s[bi]
+            ai = ai[k]
+            bi = bi[k]
+        if ai.size:
+            a_parts.append(ai)
+            b_parts.append(bi)
+        if length > head:
+            ov = np.arange(s + head, s + length, dtype=np.int64)
+            if newf_s is not None:
+                ov = ov[newf_s[ov]]
+            if ov.size:
+                a_parts.append(np.full(ov.size, s, dtype=np.int64))
+                b_parts.append(ov)
+    if not a_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+#: Pairwise signature comparisons are evaluated in slices of this many
+#: pairs so one dense (pairs x perms) equality matrix never exceeds a
+#: few MB, whatever the bucket's duplication profile.
+_PAIR_CHUNK = 65536
 
 
 def bucket_candidate_ids(group: pa.Table) -> pa.Table:
-    """Within one LSH bucket: candidate id pairs (doc_a < doc_b), no
-    similarity yet — verification happens after the signatures are
-    joined back.  All-pairs up to HOT_BUCKET_CAP members; overflow
-    members are star-linked to the bucket minimum (never silently
-    dropped — see _star_overflow)."""
-    ids = sorted(set(group.column("doc_id").to_pylist()))
-    if len(ids) < 2:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    head = ids[:HOT_BUCKET_CAP]
-    a_out, b_out = [], []
-    for i in range(len(head) - 1):
-        for j in range(i + 1, len(head)):
-            a_out.append(head[i])
-            b_out.append(head[j])
-    sa, sb = _star_overflow(ids)
-    a_out.extend(sa)
-    b_out.extend(sb)
-    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                     "doc_b": pa.array(b_out, pa.int64())})
+    """One coarse bucket of id-only band rows → candidate id pairs
+    (doc_a < doc_b), no similarity yet — verification happens after
+    the signatures are joined back.  Vectorized over all band-key
+    runs in the bucket (sort + run bounds + cached triangle indices);
+    called with a single band key's rows (or no band_key column at
+    all) it degrades to the one-run case.  With an ``is_new`` column
+    (the incremental path) old-old pairs are suppressed."""
+    sel, ids_s, newf_s, starts, ends = _sorted_runs(group)
+    a_i, b_i = _run_pair_idx(starts, ends, newf_s)
+    return pa.table({"doc_a": pa.array(ids_s[a_i].astype(np.int64)),
+                     "doc_b": pa.array(ids_s[b_i].astype(np.int64))})
 
 
 def bucket_candidate_pairs(group: pa.Table, *, threshold: float = 0.5
                            ) -> pa.Table:
-    """Within one LSH bucket: pairwise signature-estimated Jaccard;
-    emit pairs above threshold (doc_a < doc_b).  All-pairs up to
-    HOT_BUCKET_CAP members; overflow members are star-verified against
-    the bucket minimum (same policy as bucket_candidate_ids — nothing
-    silently dropped)."""
-    raw_ids = group.column("doc_id").to_pylist()
-    if len(raw_ids) < 2:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard_est_milli": pa.array([], pa.int64())})
-    order = np.argsort(raw_ids, kind="stable")
-    sigs = group.column("signature").to_pylist()
-    # de-dup ids (one doc can reach a bucket once per band key by
-    # construction, but be safe), keep id-sorted order
-    seen: dict = {}
-    for i in order:
-        seen.setdefault(raw_ids[i], sigs[i])
-    ids = list(seen)
-    mat = np.asarray([seen[i] for i in ids], dtype=np.int64)
-    head_n = min(len(ids), HOT_BUCKET_CAP)
-    a_out, b_out, j_out = [], [], []
-
-    def emit(a, b, jv):
-        if jv >= threshold and a != b:
-            if a > b:
-                a, b = b, a
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(int(jv * 1000))
-
-    for i in range(head_n - 1):
-        eq = (mat[i + 1:head_n] == mat[i]).mean(axis=1)
-        for k, jv in enumerate(eq):
-            emit(ids[i], ids[i + 1 + k], jv)
-    if len(ids) > HOT_BUCKET_CAP:
-        # star-verify overflow members against the hub (bucket min)
-        eq = (mat[HOT_BUCKET_CAP:] == mat[0]).mean(axis=1)
-        for k, jv in enumerate(eq):
-            emit(ids[0], ids[HOT_BUCKET_CAP + k], jv)
-    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                     "doc_b": pa.array(b_out, pa.int64()),
-                     "jaccard_est_milli": pa.array(j_out, pa.int64())})
+    """One coarse bucket of signature-carrying band rows → verified
+    pairs (doc_a < doc_b, slot-agreement estimate >= threshold).
+    Vectorized end-to-end: run detection as in bucket_candidate_ids,
+    then ONE dense signature-equality comparison per pair slice —
+    zero per-band-key Python calls.  With an ``is_new`` column
+    (incremental) old-old pairs are suppressed before verification."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard_est_milli": pa.array([], pa.int64())})
+    sel, ids_s, newf_s, starts, ends = _sorted_runs(group)
+    a_i, b_i = _run_pair_idx(starts, ends, newf_s)
+    if a_i.size == 0:
+        return empty
+    mat = _sig_matrix(group.column("signature"))
+    a_rows = sel[a_i]
+    b_rows = sel[b_i]
+    jv = np.empty(a_i.size, dtype=np.float64)
+    for lo in range(0, a_i.size, _PAIR_CHUNK):
+        hi = min(lo + _PAIR_CHUNK, a_i.size)
+        jv[lo:hi] = (mat[a_rows[lo:hi]]
+                     == mat[b_rows[lo:hi]]).mean(axis=1)
+    keep = jv >= threshold
+    return pa.table({
+        "doc_a": pa.array(ids_s[a_i[keep]].astype(np.int64)),
+        "doc_b": pa.array(ids_s[b_i[keep]].astype(np.int64)),
+        "jaccard_est_milli": pa.array(
+            (jv[keep] * 1000).astype(np.int64)),
+    })
 
 
 def _dedupe_pairs_local(batch: pa.Table) -> pa.Table:
@@ -537,20 +747,13 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
         band_exchange = ("signatures"
                          if n_docs <= auto_signatures_max_docs
                          else "ids")
-        if concurrency is None:
-            # short signature stages are dominated by fixed-pool
-            # spin-up; autoscale from 2 (measured: 7.1s vs 9.2s cold
-            # at sf0.1). Long jobs below keep the fixed pool.
-            concurrency = ((2, default_pool_size())
-                           if n_docs <= auto_signatures_max_docs
-                           else default_pool_size())
         if num_partitions is None:
             # shuffle partition count from DATA size, not pool size:
             # tiny corpora pay ~fixed cost per sort partition, huge
             # corpora need enough partitions to bound per-task memory
             num_partitions = max(8, min(65536, -(-n_docs // 10_000)))
-    if concurrency is None:
-        concurrency = default_pool_size()
+    del concurrency          # accepted for API compat; the signature
+    #                          stage is a task pool now (see below)
     if num_partitions is None:
         num_partitions = max(8, default_pool_size())
     if "local" in (verify, pair_dedup):
@@ -566,18 +769,23 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
                 f"ceiling {LOCAL_PATH_MAX_DOCS}. Use the default "
                 f"distributed plans (verify='cogroup', "
                 f"pair_dedup='shuffle').")
+    # stateless task stage, NOT an actor pool: the hasher state is
+    # two tiny arrays cached per worker process (_cached_hasher), so
+    # tasks start hashing immediately — no pool spin-up
     sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm,
-                               "shingle_words": shingle_words, "seed": seed},
-        batch_format="pyarrow", concurrency=concurrency)
+        functools.partial(minhash_signatures, num_perm=num_perm,
+                          shingle_words=shingle_words, seed=seed),
+        batch_format="pyarrow")
+    num_buckets = _band_bucket_count(
+        n_docs * bands if n_docs is not None else None, num_partitions)
     carry = band_exchange == "signatures"
     if carry:
         bandrows = sigs.map_batches(
-            functools.partial(lsh_bands, bands=bands, rows=rows),
+            functools.partial(lsh_bands, bands=bands, rows=rows,
+                              num_buckets=num_buckets),
             batch_format="pyarrow")
         pairs = bandrows.groupby(
-            "band_key", num_partitions=num_partitions).map_groups(
+            "bucket", num_partitions=num_partitions).map_groups(
             functools.partial(bucket_candidate_pairs, threshold=threshold),
             batch_format="pyarrow")
         if pair_dedup == "shuffle":
@@ -593,10 +801,11 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
     sigs = sigs.materialize()
     bandrows = sigs.map_batches(
         functools.partial(lsh_bands, bands=bands, rows=rows,
-                          carry_signature=False),
+                          carry_signature=False,
+                          num_buckets=num_buckets),
         batch_format="pyarrow")
     cand = bandrows.groupby(
-        "band_key", num_partitions=num_partitions).map_groups(
+        "bucket", num_partitions=num_partitions).map_groups(
         bucket_candidate_ids, batch_format="pyarrow")
 
     if verify == "cogroup":
@@ -665,10 +874,50 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
 
 # ------------------------------------------------------------- SimHash
 
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """map_batches task: text → 64-bit SimHash (signed int64 bit
+    pattern).  Vectorized across the batch: token CRCs are collected
+    into ONE uint64 array, unpacked to a (tokens, 64) bit matrix, and
+    per-doc majorities come from segment sums (``np.add.reduceat``) —
+    bit-for-bit identical to ``SimHash.simhash64`` (bit i of the
+    result = position i of the little-endian-byte / MSB-first-bit
+    unpacking, the same order both construct)."""
+    texts = batch.column("text").to_pylist()
+    hs: list = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for d, t in enumerate(texts):
+        toks = t.split()
+        counts[d] = len(toks)
+        for tok in toks:
+            b = tok.encode("utf-8")
+            hs.append((zlib.crc32(b) << 32) | zlib.crc32(b + b"#salt"))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = counts > 0
+    if hs:
+        arr = np.asarray(hs, dtype=np.uint64)
+        bits = np.unpackbits(arr.view(np.uint8).reshape(len(arr), 8),
+                             axis=1).astype(np.int64)     # (T, 64)
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(counts[nonempty][:-1], out=starts[1:])
+        sums = np.add.reduceat(bits, starts, axis=0)       # (docs, 64)
+        # majority: acc_i = 2*sum_i - n_tok > 0
+        maj = (2 * sums) > counts[nonempty][:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out[nonempty] = (maj * weights[None, :]).sum(
+            axis=1, dtype=np.uint64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array(out.view(np.int64)),
+    })
+
+
 class SimHash:
     """64-bit SimHash (Charikar's random-hyperplane sketch, public
     STOC'02 construction) over word features; CRC32 feature hashes
-    extended to 64 bits via a second salted CRC."""
+    extended to 64 bits via a second salted CRC.  ``simhash64`` is
+    the scalar reference; batches go through the vectorized
+    ``simhash_batch`` (which the pipelines pass directly, as a task
+    stage — the class form remains for actor use)."""
 
     def __init__(self):
         pass
@@ -692,13 +941,7 @@ class SimHash:
         return int(out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash64(t) for t in batch.column("text").to_pylist()]
-        # store as signed int64 bit pattern
-        signed = [int(np.uint64(h).astype(np.int64)) for h in hs]
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(signed, pa.int64()),
-        })
+        return simhash_batch(batch)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -721,79 +964,79 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(ga & gb) / u if u else 0.0
 
 
-def simhash_bands(batch: pa.Table, *, bands: int = 4) -> pa.Table:
-    """Explode 64-bit simhashes into bit-band rows ("band:value" key).
-    Pigeonhole guarantee: two hashes within Hamming distance bands-1
-    share at least one exact band — the standard bit-sampling LSH for
-    Hamming space. Stateless function stage.
+def simhash_bands(batch: pa.Table, *, bands: int = 4,
+                  num_buckets: int | None = None) -> pa.Table:
+    """Explode 64-bit simhashes into bit-band rows.  Pigeonhole
+    guarantee: two hashes within Hamming distance bands-1 share at
+    least one exact band — the standard bit-sampling LSH for Hamming
+    space.  Stateless, fully vectorized function stage.
 
-    The key is a string f"{band}:{value}" so the band id can never
-    collide with the value bits (an int key (b << k) ^ v merges
-    buckets across bands whenever the band width 64//bands exceeds
-    k — silent bucket inflation toward the hot-bucket cap)."""
-    ids = batch.column("doc_id").to_pylist()
+    The key is the int64 ``band_id * 2^width + value`` — collision-
+    free across bands because the value is masked to ``width`` bits
+    (``bands * 2^width = 2^64`` exactly, so the namespaces tile the
+    key space disjointly).  ``num_buckets`` adds the coarse ``bucket``
+    column (key mod num_buckets) for the vectorized reducer, as in
+    lsh_bands."""
+    n = batch.num_rows
     hs = batch.column("simhash").to_numpy(zero_copy_only=False)
     width = 64 // bands
-    mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(
-        0xFFFFFFFFFFFFFFFF)
-    out_key, out_id = [], []
+    mask = (np.uint64((1 << width) - 1) if width < 64
+            else np.uint64(0xFFFFFFFFFFFFFFFF))
     u = hs.astype(np.uint64)
-    for b in range(bands):
-        vals = (u >> np.uint64(b * width)) & mask
-        for i, v in zip(ids, vals):
-            out_key.append(f"{b}:{int(v)}")
-            out_id.append(i)
-    out_h = list(hs) * bands
-    return pa.table({
-        "band_key": pa.array(out_key, pa.string()),
-        "doc_id": pa.array(out_id),
-        "simhash": pa.array(out_h, pa.int64()),
-    })
+    # (n, bands): band b = bits [b*width, (b+1)*width)
+    shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+    vals = (u[:, None] >> shifts[None, :]) & mask
+    keys = (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(width)
+            if width < 64 else np.zeros((1, bands), np.uint64)) | vals
+    flat = keys.reshape(-1)                   # doc-major: d0 b0..bN ...
+    cols = {
+        "band_key": pa.array(flat.view(np.int64)),
+        "doc_id": pa.array(np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), bands)),
+        "simhash": pa.array(np.repeat(hs, bands)),
+    }
+    if num_buckets:
+        # mix before the modulo: raw band keys are structured (band id
+        # in the top bits), FNV-fold spreads them across buckets
+        mixed = (flat ^ _FNV_OFFSET) * _FNV_PRIME
+        cols["bucket"] = pa.array(
+            (mixed % np.uint64(num_buckets)).astype(np.int64))
+    return pa.table(cols) if n else pa.table(cols).slice(0, 0)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    bits = np.unpackbits(np.ascontiguousarray(x).view(np.uint8)
+                         .reshape(len(x), 8), axis=1)
+    return bits.sum(axis=1)
 
 
 def simhash_bucket_pairs(group: pa.Table, *, max_hamming: int = 3
                          ) -> pa.Table:
-    """Within one simhash band bucket: pairwise Hamming; emit pairs
-    (doc_a < doc_b, hamming <= max_hamming).  All-pairs up to
-    HOT_BUCKET_CAP members; overflow members are star-checked against
-    the bucket minimum (same policy as the MinHash buckets — nothing
-    silently dropped, cluster connectivity preserved through the
-    hub)."""
-    raw_ids = group.column("doc_id").to_pylist()
+    """One coarse bucket of simhash band rows → pairs (doc_a < doc_b,
+    hamming <= max_hamming).  Same vectorized run machinery and
+    hot-bucket star policy as the MinHash reducers: all-pairs up to
+    HOT_BUCKET_CAP members per band key, overflow star-checked
+    against the run minimum — nothing silently dropped, cluster
+    connectivity preserved through the hub."""
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
-    if len(raw_ids) < 2:
+    sel, ids_s, newf_s, starts, ends = _sorted_runs(group)
+    a_i, b_i = _run_pair_idx(starts, ends, newf_s)
+    if a_i.size == 0:
         return empty
-    order = np.argsort(raw_ids, kind="stable")
-    hs = group.column("simhash").to_numpy(zero_copy_only=False)
-    ids = [raw_ids[i] for i in order]
-    u = hs[order].astype(np.uint64)
-    head_n = min(len(ids), HOT_BUCKET_CAP)
-    a_out, b_out, d_out = [], [], []
-
-    def emit_from(anchor_idx, other_idx, dist):
-        for k in np.nonzero(dist <= max_hamming)[0]:
-            a, b = ids[anchor_idx], ids[other_idx[k]]
-            if a == b:
-                continue
-            if a > b:
-                a, b = b, a
-            a_out.append(a)
-            b_out.append(b)
-            d_out.append(int(dist[k]))
-
-    def popcount(x):
-        bits = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
-        return bits.sum(axis=1)
-
-    for i in range(head_n - 1):
-        dist = popcount(u[i + 1:head_n] ^ u[i])
-        emit_from(i, np.arange(i + 1, head_n), dist)
-    if len(ids) > HOT_BUCKET_CAP:
-        dist = popcount(u[HOT_BUCKET_CAP:] ^ u[0])
-        emit_from(0, np.arange(HOT_BUCKET_CAP, len(ids)), dist)
-    if not a_out:
+    u = group.column("simhash").to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    dist = np.empty(a_i.size, dtype=np.int64)
+    for lo in range(0, a_i.size, _PAIR_CHUNK):
+        hi = min(lo + _PAIR_CHUNK, a_i.size)
+        dist[lo:hi] = _popcount64(u[sel[a_i[lo:hi]]]
+                                  ^ u[sel[b_i[lo:hi]]])
+    keep = dist <= max_hamming
+    a_out = ids_s[a_i[keep]].astype(np.int64)
+    b_out = ids_s[b_i[keep]].astype(np.int64)
+    d_out = dist[keep]
+    if not len(a_out):
         return empty
     return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                      "doc_b": pa.array(b_out, pa.int64()),
@@ -825,12 +1068,14 @@ def simhash_neardup_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
                 f"pair_dedup='local' is a small-N shortcut; corpus has "
                 f"{n_docs} docs > ceiling {LOCAL_PATH_MAX_DOCS}. Use "
                 f"pair_dedup='shuffle'.")
-    sh = ds.map_batches(SimHash, batch_format="pyarrow",
-                        concurrency=concurrency)
+    del concurrency        # accepted for API compat; simhash_batch is
+    #                        a stateless task stage, no pool to size
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
     bandrows = sh.map_batches(
-        functools.partial(simhash_bands, bands=bands),
+        functools.partial(simhash_bands, bands=bands,
+                          num_buckets=_band_bucket_count(None, None)),
         batch_format="pyarrow")
-    pairs = bandrows.groupby("band_key").map_groups(
+    pairs = bandrows.groupby("bucket").map_groups(
         functools.partial(simhash_bucket_pairs, max_hamming=max_hamming),
         batch_format="pyarrow")
     if pair_dedup == "shuffle":

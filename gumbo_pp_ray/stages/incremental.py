@@ -39,9 +39,10 @@ import numpy as np
 import pyarrow as pa
 
 from .dedup import (
-    HOT_BUCKET_CAP, MinHashSignatures, _attach_a_group, _attach_b_group,
-    _cogroup_pair_rows_a, _cogroup_sig_rows, _distinct_pairs,
-    _rekey_by_other, _sig_matrix, lsh_bands,
+    HOT_BUCKET_CAP, _attach_a_group, _attach_b_group,
+    _band_bucket_count, _cogroup_pair_rows_a, _cogroup_sig_rows,
+    _distinct_pairs, _rekey_by_other, _sig_matrix, bucket_candidate_ids,
+    bucket_candidate_pairs, lsh_bands, minhash_signatures,
 )
 
 _PARAMS_FILE = "_index_params.json"
@@ -55,15 +56,13 @@ def write_signature_index(ds, index_dir: str, *, num_perm: int = 128,
     ``minhash_lsh_pairs_incremental`` validates against — a signature
     computed with different perms/shingles/seed is not comparable, so
     a mismatch must fail loudly, not degrade recall silently."""
-    from ..state.sizing import default_pool_size
-    if concurrency is None:
-        concurrency = (2, default_pool_size())
+    del concurrency      # accepted for API compat; the signature
+    #                      stage is a stateless task pool (dedup.py:
+    #                      _cached_hasher), no actor pool to size
     sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm,
-                               "shingle_words": shingle_words,
-                               "seed": seed},
-        batch_format="pyarrow", concurrency=concurrency)
+        functools.partial(minhash_signatures, num_perm=num_perm,
+                          shingle_words=shingle_words, seed=seed),
+        batch_format="pyarrow")
     sigs.write_parquet(index_dir)
     params = {"num_perm": num_perm, "shingle_words": shingle_words,
               "seed": seed}
@@ -87,16 +86,14 @@ def append_signature_index(ds, index_dir: str, *,
     generations' (Ray writes unique filenames — no rewrite of old
     data, which at 100 TB is the difference between appending ~1-2%
     and rewriting everything)."""
-    from ..state.sizing import default_pool_size
     params = read_index_params(index_dir)
-    if concurrency is None:
-        concurrency = (2, default_pool_size())
+    del concurrency      # API compat; stateless task stage
     sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": params["num_perm"],
-                               "shingle_words": params["shingle_words"],
-                               "seed": params["seed"]},
-        batch_format="pyarrow", concurrency=concurrency)
+        functools.partial(minhash_signatures,
+                          num_perm=params["num_perm"],
+                          shingle_words=params["shingle_words"],
+                          seed=params["seed"]),
+        batch_format="pyarrow")
     sigs.write_parquet(index_dir)
     return params
 
@@ -108,90 +105,21 @@ def _flag_rows(batch: pa.Table, *, is_new: int) -> pa.Table:
 
 def bucket_candidate_pairs_incremental(group: pa.Table, *,
                                        threshold: float) -> pa.Table:
-    """One LSH bucket: verify every NEW member against all members
-    (new-new pairs once via doc_a < doc_b; new-old always; old-old
-    never).  Hot buckets: the comparison set is capped at
-    HOT_BUCKET_CAP id-sorted members plus the bucket minimum as a
-    star hub, matching the main path's recall policy."""
-    raw_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    flags = group.column("is_new").to_numpy(zero_copy_only=False)
-    sigs = _sig_matrix(group.column("signature"))
-    order = np.argsort(raw_ids, kind="stable")
-    # one row per doc (a doc can reach a bucket once per band, and the
-    # same doc can appear on both sides if the caller re-indexes)
-    seen: dict = {}
-    for i in order:
-        cur = seen.get(raw_ids[i])
-        if cur is None:
-            seen[raw_ids[i]] = (sigs[i], bool(flags[i]))
-        elif flags[i] and not cur[1]:
-            seen[raw_ids[i]] = (sigs[i], True)
-    ids = np.array(list(seen.keys()), dtype=np.int64)
-    mat = np.stack([v[0] for v in seen.values()]) if len(seen) else \
-        np.zeros((0, 1))
-    newf = np.array([v[1] for v in seen.values()], dtype=bool)
-    a_out, b_out, j_out = [], [], []
-
-    def emit(a, b, jv):
-        if jv >= threshold and a != b:
-            if a > b:
-                a, b = b, a
-            a_out.append(int(a))
-            b_out.append(int(b))
-            j_out.append(int(jv * 1000))
-
-    head = min(len(ids), HOT_BUCKET_CAP)
-    for i in np.nonzero(newf[:head])[0]:
-        eq = (mat[:head] == mat[i]).mean(axis=1)
-        for k in range(head):
-            if k == i:
-                continue
-            if newf[k] and ids[k] < ids[i]:
-                continue                    # new-new emitted once
-            emit(ids[i], ids[k], eq[k])
-    if len(ids) > HOT_BUCKET_CAP:
-        # star policy: overflow NEW members verify against the hub
-        hub_sig = mat[0]
-        for k in range(HOT_BUCKET_CAP, len(ids)):
-            if not newf[k]:
-                continue
-            emit(ids[0], ids[k], float((mat[k] == hub_sig).mean()))
-    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                     "doc_b": pa.array(b_out, pa.int64()),
-                     "jaccard_est_milli": pa.array(j_out, pa.int64())})
+    """One coarse bucket of flagged band rows: verify every NEW member
+    against all run members (new-new pairs once via doc_a < doc_b;
+    new-old always; old-old never).  Shared is_new-aware vectorized
+    core (dedup.bucket_candidate_pairs): hot runs capped at
+    HOT_BUCKET_CAP id-sorted members plus the run minimum as a star
+    hub, duplicate (band_key, doc_id) rows collapse new-wins."""
+    return bucket_candidate_pairs(group, threshold=threshold)
 
 
 def bucket_candidate_ids_incremental(group: pa.Table) -> pa.Table:
-    """One LSH bucket, id-only exchange: candidate pairs where at
-    least one side is NEW — old-old pairs never emitted.  Recall
-    policy mirrors bucket_candidate_pairs_incremental exactly:
-    all-pairs over the first HOT_BUCKET_CAP id-sorted members,
-    overflow NEW members star-linked to the bucket-minimum hub."""
-    ids_raw = group.column("doc_id").to_numpy(zero_copy_only=False)
-    flags = group.column("is_new").to_numpy(zero_copy_only=False)
-    empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64())})
-    if len(ids_raw) < 2:
-        return empty
-    # one row per doc (a doc reaches a bucket once per band); is_new
-    # wins if the same id appears on both sides
-    uids, inv = np.unique(ids_raw, return_inverse=True)
-    newf = np.zeros(len(uids), dtype=bool)
-    np.maximum.at(newf, inv, flags.astype(bool))
-    if len(uids) < 2 or not newf.any():
-        return empty
-    head = min(len(uids), HOT_BUCKET_CAP)
-    ai, bj = np.triu_indices(head, k=1)
-    keep = newf[ai] | newf[bj]
-    a_out = uids[ai[keep]]
-    b_out = uids[bj[keep]]
-    if len(uids) > HOT_BUCKET_CAP:
-        over = np.arange(HOT_BUCKET_CAP, len(uids))[newf[HOT_BUCKET_CAP:]]
-        if len(over):
-            a_out = np.concatenate([a_out, np.full(len(over), uids[0])])
-            b_out = np.concatenate([b_out, uids[over]])
-    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                     "doc_b": pa.array(b_out, pa.int64())})
+    """Id-only flavor of bucket_candidate_pairs_incremental: candidate
+    pairs where at least one side is NEW, same recall policy, no
+    similarity yet (verification happens after the signatures are
+    joined back)."""
+    return bucket_candidate_ids(group)
 
 
 def _newwins_sig_dedupe(group: pa.Table) -> pa.Table:
@@ -261,7 +189,6 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
     ~(index+new) x bands / num_partitions band rows; auto sizes
     num_partitions from the total doc count like the main path."""
     from ..sources.io import list_input_files, read_parquet_clean
-    from ..state.sizing import default_pool_size
     params = read_index_params(index_dir)
     if bands * rows > params["num_perm"]:
         raise ValueError(
@@ -272,15 +199,15 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
     idx_files = list_input_files(index_dir)   # skips the _params sidecar
     idx_sigs_plain = read_parquet_clean(
         idx_files, columns=["doc_id", "signature"])
-    if concurrency is None:
-        concurrency = (2, default_pool_size())
+    del concurrency      # API compat; stateless task stage
     new_sigs_plain = new_ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": params["num_perm"],
-                               "shingle_words": params["shingle_words"],
-                               "seed": params["seed"]},
-        batch_format="pyarrow", concurrency=concurrency)
+        functools.partial(minhash_signatures,
+                          num_perm=params["num_perm"],
+                          shingle_words=params["shingle_words"],
+                          seed=params["seed"]),
+        batch_format="pyarrow")
     materialized = False
+    n_total = None
     if band_exchange == "auto" or num_partitions is None:
         # index rows from parquet FOOTERS (no read tasks).  The new
         # shard's count comes from MATERIALIZING its signatures —
@@ -312,10 +239,14 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
     idx_sigs = idx_sigs_plain.map_batches(
         functools.partial(_flag_rows, is_new=0), batch_format="pyarrow")
 
+    num_buckets = _band_bucket_count(
+        n_total * bands if n_total is not None else None, num_partitions)
+
     def bands_with_flag(batch: pa.Table) -> pa.Table:
         flags = batch.column("is_new")
         rows_t = lsh_bands(batch.drop_columns(["is_new"]),
-                           bands=bands, rows=rows, carry_signature=carry)
+                           bands=bands, rows=rows, carry_signature=carry,
+                           num_buckets=num_buckets)
         # lsh_bands emits ``bands`` rows per input row, in input order
         rep = np.repeat(flags.to_numpy(zero_copy_only=False), bands)
         return rows_t.append_column("is_new",
@@ -325,7 +256,7 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
         bands_with_flag, batch_format="pyarrow")
     if carry:
         pairs = bandrows.groupby(
-            "band_key", num_partitions=num_partitions).map_groups(
+            "bucket", num_partitions=num_partitions).map_groups(
             functools.partial(bucket_candidate_pairs_incremental,
                               threshold=threshold),
             batch_format="pyarrow")
@@ -337,7 +268,7 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
     # the attach stages can keep the NEW signature when a re-indexed
     # doc_id appears on both sides (see _newwins_sig_dedupe).
     cand = bandrows.groupby(
-        "band_key", num_partitions=num_partitions).map_groups(
+        "bucket", num_partitions=num_partitions).map_groups(
         bucket_candidate_ids_incremental, batch_format="pyarrow")
 
     def sig_rows_flagged(batch: pa.Table, *, is_new: int) -> pa.Table:

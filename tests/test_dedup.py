@@ -214,21 +214,27 @@ def test_minhash_no_candidates_empty_result(ray_session):
 
 
 def test_simhash_band_keys_disjoint_across_bands():
-    """bands=2 → 32-bit band values; the string key must keep band
-    namespaces disjoint (an int (b<<16)^v key would collide)."""
+    """bands=2 → 32-bit band values; the int key b*2^width + v must
+    keep band namespaces disjoint (the value is masked to width bits,
+    so the namespaces tile the key space without overlap)."""
+    import numpy as np
+
     from gumbo_pp_ray.stages.dedup import simhash_bands
 
     t = pa.table({"doc_id": [0, 1],
                   "simhash": pa.array([(1 << 48) | 7, 7], pa.int64())})
     out = simhash_bands(t, bands=2)
-    keys = out.column("band_key").to_pylist()
-    bands = {k.split(":")[0] for k in keys}
-    assert bands == {"0", "1"}
-    # doc 0's upper band (1<<16 within band 1) must not equal any
-    # band-0 key even though the raw band values could collide
-    b0 = {k for k in keys if k.startswith("0:")}
-    b1 = {k for k in keys if k.startswith("1:")}
+    keys = np.asarray(out.column("band_key").to_pylist(),
+                      dtype=np.uint64)
+    band_of = keys >> np.uint64(32)
+    assert set(band_of.tolist()) == {0, 1}
+    # doc 0's upper band value (1<<16) could collide with a band-0
+    # value; the band id in the top bits must keep the keys distinct
+    b0 = set(keys[band_of == 0].tolist())
+    b1 = set(keys[band_of == 1].tolist())
     assert not (b0 & b1)
+    # docs 0 and 1 share band 0 (both lower halves == 7) but not band 1
+    assert len(b0) == 1 and len(b1) == 2
 
 
 def test_minhash_band_exchange_modes_agree(ray_session, dup_corpus):
