@@ -165,22 +165,30 @@ def bench_dedup_incr() -> dict:
         minhash_lsh_pairs_incremental, write_signature_index,
     )
 
-    idx = f"/tmp/gumbo_bench/sigidx-{os.path.basename(SF_DIR)}"
-    marker = os.path.join(idx, "_bench_ready")
+    base_dir = f"/tmp/gumbo_bench/incr-{os.path.basename(SF_DIR)}"
+    idx = os.path.join(base_dir, "sigidx")
+    shard = os.path.join(base_dir, "shard")
+    marker = os.path.join(base_dir, "_bench_ready")
     if not os.path.exists(marker):
-        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+        os.makedirs(base_dir)
         import pyarrow.compute as pc
         base = _docs_ds().map_batches(
             lambda t: t.filter(pc.equal(pc.bit_wise_and(
                 t.column("doc_id"), 1), 0)), batch_format="pyarrow")
         write_signature_index(base, idx)
+        # the new shard lands as parquet files (that is how an ingest
+        # loop receives one); its row count is then footer-metadata
+        # for the plan gate, like the index's
+        _docs_ds().map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(
+                t.column("doc_id"), 1), 1)),
+            batch_format="pyarrow").write_parquet(shard)
         with open(marker, "w") as f:
             f.write("ok")
-    import pyarrow.compute as pc
-    new = _docs_ds().map_batches(
-        lambda t: t.filter(pc.equal(pc.bit_wise_and(
-            t.column("doc_id"), 1), 1)), batch_format="pyarrow")
+    from gumbo_pp_ray.sources.io import read_parquet_clean
     t0 = time.perf_counter()
+    new = read_parquet_clean(shard, columns=["doc_id", "text"])
     n = minhash_lsh_pairs_incremental(new, idx, threshold=0.5).count()
     return {"sec": time.perf_counter() - t0, "pairs": n}
 

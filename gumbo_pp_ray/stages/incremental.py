@@ -98,11 +98,6 @@ def append_signature_index(ds, index_dir: str, *,
     return params
 
 
-def _flag_rows(batch: pa.Table, *, is_new: int) -> pa.Table:
-    return batch.append_column(
-        "is_new", pa.array(np.full(len(batch), is_new, dtype=np.int8)))
-
-
 def bucket_candidate_pairs_incremental(group: pa.Table, *,
                                        threshold: float) -> pa.Table:
     """One coarse bucket of flagged band rows: verify every NEW member
@@ -166,17 +161,20 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
                                   concurrency=None,
                                   num_partitions: int | None = None,
                                   band_exchange: str = "auto",
-                                  auto_signatures_max_docs: int = 1_000_000):
+                                  auto_signatures_max_docs: int = 1_000_000,
+                                  new_count_hint: int | None = None):
     """Near-dup pairs (doc_a, doc_b, jaccard_est_milli) involving at
     least one NEW document: new-vs-index and new-vs-new; never
     index-vs-index.
 
     ``band_exchange`` follows dedup.minhash_lsh_pairs's cost gate:
 
-    * ``"auto"`` — counts (index rows are parquet-metadata-fast, the
-      new shard costs one ds.count()): up to
-      ``auto_signatures_max_docs`` total uses ``"signatures"``, above
-      it ``"ids"``.
+    * ``"auto"`` — counts (index rows are parquet-metadata-fast; the
+      new shard uses ``new_count_hint`` when given — an ingest loop
+      just wrote the shard, so it knows — else one ``new_ds.count()``,
+      itself metadata-fast for shards read straight from parquet):
+      up to ``auto_signatures_max_docs`` total uses ``"signatures"``,
+      above it ``"ids"``.
     * ``"signatures"`` — band rows carry signatures, in-bucket verify;
       one shuffle.
     * ``"ids"`` — band rows carry (band_key, doc_id, is_new) only
@@ -206,23 +204,24 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
                           shingle_words=params["shingle_words"],
                           seed=params["seed"]),
         batch_format="pyarrow")
-    materialized = False
     n_total = None
     if band_exchange == "auto" or num_partitions is None:
         # index rows from parquet FOOTERS (no read tasks).  The new
-        # shard's count comes from MATERIALIZING its signatures —
-        # which the pipeline computes anyway — and reading block
-        # metadata, instead of a separate ds.count() pass that
-        # re-executes the shard's read upstream (round-4 verdict
-        # item 6: ~0.9 s of pure gate overhead at sf0.1); skipped
-        # entirely when the index alone already exceeds the ceiling.
+        # shard's count: ``new_count_hint`` when the caller knows it
+        # (an ingest loop just wrote the shard — it always does), else
+        # ``new_ds.count()`` — parquet-metadata-fast for shards read
+        # straight from files, one cheap no-hash pass otherwise.
+        # Round-4 shape (materialize the signatures, count blocks)
+        # was strictly worse: the materialize is a BARRIER that stops
+        # the signature stage overlapping the band shuffle (~2 s of
+        # the old 1.6-2.0x dedup_incr/dedup_minhash wall gap at
+        # sf0.1); skipped when the index alone exceeds the ceiling.
         import pyarrow.parquet as pq
         n_total = sum(pq.ParquetFile(f).metadata.num_rows
                       for f in idx_files)
         if n_total <= auto_signatures_max_docs or num_partitions is None:
-            new_sigs_plain = new_sigs_plain.materialize()
-            materialized = True
-            n_total += new_sigs_plain.count()   # block metadata, free
+            n_total += (new_count_hint if new_count_hint is not None
+                        else new_ds.count())
         if band_exchange == "auto":
             band_exchange = ("signatures"
                              if n_total <= auto_signatures_max_docs
@@ -230,30 +229,27 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
         if num_partitions is None:
             num_partitions = max(8, min(65536, -(-n_total // 10_000)))
     carry = band_exchange == "signatures"
-    if not carry and not materialized:
+    if not carry:
         # ids plan consumes the new signatures twice (band rows +
-        # verify); materialize block-level so the actor pool runs once
+        # verify); materialize block-level so the stage runs once
         new_sigs_plain = new_sigs_plain.materialize()
-    new_sigs = new_sigs_plain.map_batches(
-        functools.partial(_flag_rows, is_new=1), batch_format="pyarrow")
-    idx_sigs = idx_sigs_plain.map_batches(
-        functools.partial(_flag_rows, is_new=0), batch_format="pyarrow")
 
     num_buckets = _band_bucket_count(
         n_total * bands if n_total is not None else None, num_partitions)
 
-    def bands_with_flag(batch: pa.Table) -> pa.Table:
-        flags = batch.column("is_new")
-        rows_t = lsh_bands(batch.drop_columns(["is_new"]),
-                           bands=bands, rows=rows, carry_signature=carry,
+    def bands_flagged(batch: pa.Table, *, is_new: int) -> pa.Table:
+        rows_t = lsh_bands(batch, bands=bands, rows=rows,
+                           carry_signature=carry,
                            num_buckets=num_buckets)
         # lsh_bands emits ``bands`` rows per input row, in input order
-        rep = np.repeat(flags.to_numpy(zero_copy_only=False), bands)
-        return rows_t.append_column("is_new",
-                                    pa.array(rep, pa.int8()))
+        return rows_t.append_column("is_new", pa.array(
+            np.full(rows_t.num_rows, is_new, dtype=np.int8)))
 
-    bandrows = new_sigs.union(idx_sigs).map_batches(
-        bands_with_flag, batch_format="pyarrow")
+    bandrows = new_sigs_plain.map_batches(
+        functools.partial(bands_flagged, is_new=1),
+        batch_format="pyarrow").union(idx_sigs_plain.map_batches(
+            functools.partial(bands_flagged, is_new=0),
+            batch_format="pyarrow"))
     if carry:
         pairs = bandrows.groupby(
             "bucket", num_partitions=num_partitions).map_groups(
