@@ -63,6 +63,9 @@ class PrepStats:
 
 
 def _keep_min_doc(group: pa.Table) -> pa.Table:
+    """Per-hash reference reducer (winner = min doc_id); the pipeline
+    runs the bucketed vectorized form below — one UDF call per coarse
+    hash bucket, not one per distinct hash."""
     ids = group.column("doc_id")
     i = pa.compute.index(ids, pa.compute.min(ids))
     row = group.slice(i.as_py(), 1)
@@ -70,15 +73,48 @@ def _keep_min_doc(group: pa.Table) -> pa.Table:
                      "n_tokens": row.column("n_tokens")})
 
 
+def _keep_min_bucket(group: pa.Table) -> pa.Table:
+    """One coarse bucket of (content_hash, doc_id, n_tokens) rows →
+    the min-doc_id winner row per distinct hash, vectorized: byte-sort
+    by (hash, doc_id), take the first row of each equal-hash run."""
+    import numpy as np
+    h = np.ascontiguousarray(group.column("content_hash")
+                             .to_numpy(zero_copy_only=False).astype("S32"))
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h))
+    h_s = h[order]
+    first = np.flatnonzero(
+        np.concatenate(([True], h_s[1:] != h_s[:-1])))
+    rows = group.take(pa.array(order[first], pa.int64()))
+    return pa.table({"doc_id": rows.column("doc_id"),
+                     "n_tokens": rows.column("n_tokens")})
+
+
 def prep_training_corpus(ds, bench_ref, *, min_quality_milli: int = 500,
-                         ngram: int = 3, concurrency=None):
+                         ngram: int = 3, concurrency=None,
+                         num_partitions: int | None = None,
+                         num_buckets: int | None = None):
     """documents Dataset + broadcast benchmark n-gram set →
     (doc_id, n_tokens) of the surviving corpus: quality ≥ threshold,
     zero benchmark overlap, exact-dup groups reduced to their minimum
-    doc_id."""
+    doc_id.
+
+    The dedup shuffle groups on a COARSE hash bucket (~100k distinct
+    hashes per reducer call, sized from ``ds.count()``) and resolves
+    winners vectorized inside — same shape as stages/dedup.py's
+    exact_dedup, never a Python call per distinct hash."""
+    import functools
+
+    from ..stages.dedup import _hash_str_bucket
     from ..state.sizing import default_pool_size
     if concurrency is None:
         concurrency = default_pool_size()
+    if num_buckets is None or num_partitions is None:
+        n = ds.count()
+        if num_buckets is None:
+            num_buckets = int(min(1 << 16, max(64, n // 100_000)))
+        if num_partitions is None:
+            num_partitions = max(8, min(65536, -(-n // 10_000)))
     stats = ds.map_batches(
         PrepStats,
         fn_constructor_kwargs={"bench_ref": bench_ref, "n": ngram},
@@ -86,5 +122,11 @@ def prep_training_corpus(ds, bench_ref, *, min_quality_milli: int = 500,
     ok = stats.filter(
         expr=f"quality_milli >= {int(min_quality_milli)} "
              f"and n_contaminated == 0")
-    return ok.groupby("content_hash").map_groups(
-        _keep_min_doc, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bucket", pa.array(_hash_str_bucket(
+            batch.column("content_hash"), num_buckets)))
+
+    return ok.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "bucket", num_partitions=num_partitions).map_groups(
+        _keep_min_bucket, batch_format="pyarrow")
