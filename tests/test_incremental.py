@@ -223,3 +223,64 @@ def test_reindexed_doc_new_signature_wins(ray_session, tmp_path):
     assert results["signatures"] == results["ids"]
     assert (5, 100) in results["ids"]
     assert (3, 5) not in results["ids"]
+
+
+def test_incremental_bucket_reducer_star_overflow_unit():
+    """Hot-run policy under is_new (pure unit, no Ray): all-pairs over
+    the first HOT_BUCKET_CAP id-sorted members keep only new|new or
+    new|old pairs; overflow members star-link to the run-minimum hub
+    ONLY when the overflow member is new.  Checked against a brute
+    reference over a mixed new/old run larger than the cap."""
+    import numpy as np
+
+    from gumbo_pp_ray.stages.dedup import HOT_BUCKET_CAP
+    from gumbo_pp_ray.stages.incremental import (
+        bucket_candidate_ids_incremental,
+    )
+
+    n = HOT_BUCKET_CAP + 20
+    ids = np.arange(n, dtype=np.int64)
+    newf = (ids % 3 == 0)                      # mixed, hub (id 0) new
+    g = pa.table({
+        "band_key": pa.array(np.zeros(n, dtype=np.int64)),
+        "doc_id": pa.array(ids),
+        "is_new": pa.array(newf.astype(np.int8)),
+    })
+    out = bucket_candidate_ids_incremental(g)
+    got = set(zip(out.column("doc_a").to_pylist(),
+                  out.column("doc_b").to_pylist()))
+    want = set()
+    for i in range(HOT_BUCKET_CAP - 1):
+        for j in range(i + 1, HOT_BUCKET_CAP):
+            if newf[i] or newf[j]:
+                want.add((i, j))
+    for j in range(HOT_BUCKET_CAP, n):
+        if newf[j]:                            # only NEW overflow links
+            want.add((0, j))
+    assert got == want
+    # old-old pairs never appear
+    assert not any(not newf[a] and not newf[b] for a, b in got)
+
+
+def test_sorted_runs_newwins_collapse_unit():
+    """Duplicate (band_key, doc_id) rows collapse to ONE row and the
+    NEW row's signature is the one verification sees (re-indexed doc:
+    its new text's signature must drive the estimate)."""
+    from gumbo_pp_ray.stages.dedup import bucket_candidate_pairs
+
+    sig_old = [1] * 8
+    sig_new = [2] * 8
+    sig_match = [2] * 8
+    g = pa.table({
+        "band_key": pa.array([7, 7, 7], pa.int64()),
+        "doc_id": pa.array([5, 5, 9], pa.int64()),
+        "signature": pa.array([sig_old, sig_new, sig_match],
+                              pa.list_(pa.int64())),
+        # doc 5 appears as OLD (index) and NEW (re-indexed); doc 9 new
+        "is_new": pa.array([0, 1, 1], pa.int8()),
+    })
+    out = bucket_candidate_pairs(g, threshold=0.5)
+    rows = out.to_pylist()
+    # with the NEW signature for doc 5, (5, 9) agrees on every slot;
+    # with the old one the estimate would be 0 and the pair dropped
+    assert rows == [{"doc_a": 5, "doc_b": 9, "jaccard_est_milli": 1000}]
