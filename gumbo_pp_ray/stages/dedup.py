@@ -689,19 +689,25 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
                       concurrency=None, pair_dedup="shuffle",
                       band_exchange="auto", verify="cogroup",
                       num_partitions=None,
-                      auto_signatures_max_docs=1_000_000):
+                      auto_signatures_max_docs=100_000):
     """Full MinHash-LSH near-dup candidate pipeline over a documents
     Dataset → distinct (doc_a, doc_b, jaccard_est_milli).
 
     ``band_exchange`` controls what the bucket shuffle moves:
 
     * ``"auto"`` (default): cost-based plan choice — corpora up to
-      ``auto_signatures_max_docs`` (1M, ≈16 GB exchange at 128 perms)
-      use ``"signatures"`` (ONE shuffle, verification in-bucket, no
-      extra passes); larger corpora use ``"ids"`` whose exchange is
-      1000x narrower.  Both plans are fully distributed and
-      driver-free; the choice costs one ``ds.count()`` (metadata-fast
-      for parquet reads).
+      ``auto_signatures_max_docs`` (100k, ≈1.6 GB exchange at 128
+      perms) use ``"signatures"`` (ONE shuffle, verification
+      in-bucket, no extra passes); larger corpora use ``"ids"`` whose
+      exchange is 1000x narrower.  Both plans are fully distributed
+      and driver-free; the choice costs one ``ds.count()``
+      (metadata-fast for parquet reads).  The 100k crossover is
+      measured (round 5, post-vectorization, 40-token docs, 32 CPUs):
+      50k docs — signatures 4.3 s vs ids 12.0 s; 100k — 18.0 vs
+      16.5 s; 250k — 74 vs 29 s; 1M — 437 vs 162 s.  The old 1M gate
+      dated from when the pipeline's per-stage fixed costs dominated;
+      with task-pool signatures + coarse-bucket reducers the exchange
+      width takes over far earlier.
     * ``"ids"`` (the SCALE shape): band rows carry only
       (band_key, doc_id) — ~16 B/doc exchanged instead of
       bands x signature ≈ 16 KB/doc (a 1000x reduction; at 10^12 docs

@@ -15,7 +15,8 @@ Scale shape: mirrors stages/dedup.py's two plans, chosen by the same
 cost gate (``band_exchange``):
 
 * ``"signatures"`` — one band-key shuffle carrying signatures,
-  verification in-bucket.  Right up to ~1M total docs.
+  verification in-bucket.  Right up to ~100k total docs (the measured
+  crossover; see dedup.minhash_lsh_pairs).
 * ``"ids"`` — band rows carry only (band_key, doc_id, is_new)
   (~17 B/doc vs bands x signature ≈ 16 KB/doc, a ~1000x narrower
   exchange); candidate pairs come out id-only and are verified by the
@@ -161,7 +162,7 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
                                   concurrency=None,
                                   num_partitions: int | None = None,
                                   band_exchange: str = "auto",
-                                  auto_signatures_max_docs: int = 1_000_000,
+                                  auto_signatures_max_docs: int = 100_000,
                                   new_count_hint: int | None = None):
     """Near-dup pairs (doc_a, doc_b, jaccard_est_milli) involving at
     least one NEW document: new-vs-index and new-vs-new; never
