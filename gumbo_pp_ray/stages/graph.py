@@ -134,8 +134,18 @@ def _cc_broadcast(pairs_ds, nodes_ds, *, max_iters: int):
     import ray
     import ray.data
 
-    edges_refs = pairs_ds.map_batches(
-        _sym_edges, batch_format="pyarrow").to_arrow_refs()
+    edges_ds = pairs_ds.map_batches(
+        _sym_edges, batch_format="pyarrow").materialize()
+    edges_refs = edges_ds.to_arrow_refs()
+    # per-round reduction plan: partial_min already combines in-block,
+    # so for modest edge counts the driver can merge the per-block
+    # partials DIRECTLY — zero all-to-all per round (the groupby was
+    # the only per-round shuffle, ~2-3 s fixed wall each at small
+    # scale).  Worst case driver traffic per round = sum of per-block
+    # unique nodes ≤ 2 x edges; above the cap (≈256 MB of partial
+    # rows) keep the native hash aggregate so the driver pull stays
+    # node-bounded.  edges_ds.count() is block metadata — free.
+    direct_merge = edges_ds.count() <= 16_000_000
     # node ids as one numpy array (bounded by the plan gate ≈ 16 B/node;
     # a take_all() of row dicts would cost ~500 B/node in Python objects)
     parts = [ray.get(r) for r in nodes_ds.to_arrow_refs()]
@@ -167,14 +177,18 @@ def _cc_broadcast(pairs_ds, nodes_ds, *, max_iters: int):
         partials = ray.data.from_arrow_refs(edges_refs).map_batches(
             functools.partial(partial_min, labels_ref=labels_ref),
             batch_format="pyarrow")
-        agg = partials.groupby("node").min("label")
+        if direct_merge:
+            agg, min_col = partials, "label"
+        else:
+            agg, min_col = partials.groupby("node").min("label"), \
+                "min(label)"
         changed = False
         for blk in agg.to_arrow_refs():
             t = ray.get(blk)
             if t.num_rows == 0:
                 continue
             n = t.column("node").to_numpy(zero_copy_only=False)
-            c = t.column("min(label)").to_numpy(zero_copy_only=False)
+            c = t.column(min_col).to_numpy(zero_copy_only=False)
             pos = np.clip(np.searchsorted(keys, n), 0, len(keys) - 1)
             known = keys[pos] == n          # edges may name unknown nodes
             pos, c = pos[known], c[known]
