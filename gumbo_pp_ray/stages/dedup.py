@@ -549,6 +549,65 @@ _MIX_A = np.uint64(0x9E3779B97F4A7C15)
 _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
+#: Cost gate for the candidate semi-join prune: at or below this many
+#: candidate pairs, the distinct candidate ids (≤ 2/pair, 8 B each →
+#: ≤32 MB) ride ONE ray.put broadcast and the signature dataset is
+#: filtered BEFORE the attach exchanges.
+CAND_BROADCAST_MAX_PAIRS = 2_000_000
+
+
+def _candidate_id_filter(cand, *, max_pairs: int | None = None):
+    """Cost-gated semi-join prune for the co-group verify: the attach
+    stages only need the CANDIDATES' signatures, but by default every
+    doc's signature rides both attach exchanges.  When the candidate
+    set is modest (counted from block metadata after the groupby
+    barrier — free), pull the distinct ids as one numpy array,
+    broadcast it once, and return a batch filter to apply to the
+    signature dataset(s) — at a ~1% dup rate this cuts the attach
+    exchange ~100x.  Above the gate (boilerplate-heavy corpora whose
+    candidate set is corpus-sized) returns no filter: the unpruned
+    all-signatures shape is already the right one.
+
+    Returns ``(cand_materialized, keep_fn | None)``; ``cand`` is
+    consumed twice downstream either way, so the materialize is not
+    an extra pass.  ``max_pairs`` defaults to the module constant at
+    CALL time so tests can pin the unpruned path by monkeypatching
+    ``CAND_BROADCAST_MAX_PAIRS``."""
+    import ray
+    if max_pairs is None:
+        max_pairs = CAND_BROADCAST_MAX_PAIRS
+    cand = cand.materialize()
+    if cand.count() > max_pairs:
+        return cand, None
+    parts = [ray.get(r) for r in cand.to_arrow_refs()]
+    arrs = [np.concatenate([
+        t.column("doc_a").to_numpy(zero_copy_only=False),
+        t.column("doc_b").to_numpy(zero_copy_only=False)])
+        for t in parts if t.num_rows]
+    ids = (np.unique(np.concatenate(arrs)).astype(np.int64)
+           if arrs else np.empty(0, dtype=np.int64))
+    ids_ref = ray.put(ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = ray.get(ids_ref)
+        if len(w) == 0:
+            return batch.slice(0, 0)
+        m = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(w, m), 0, len(w) - 1)
+        return batch.filter(pa.array(w[pos] == m))
+
+    return cand, keep
+
+
+def _prune_sigs_to_candidates(cand, sigs, *,
+                              max_pairs: int | None = None):
+    """One-dataset convenience over _candidate_id_filter."""
+    cand, keep = _candidate_id_filter(cand, max_pairs=max_pairs)
+    if keep is not None:
+        sigs = sigs.map_batches(keep, batch_format="pyarrow")
+    return cand, sigs
+
+
 def _doc_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic (process-stable) doc → bucket hash."""
     return ((ids.astype(np.uint64) * _MIX_A)
@@ -820,6 +879,7 @@ def minhash_lsh_pairs(ds, *, num_perm=128, bands=16, rows=8,
         # all duplicates of a pair share doc_a, hence a bucket), then
         # attach sig_b + verify (keyed by doc_b).  No separate
         # pre-dedup shuffle needed.
+        cand, sigs = _prune_sigs_to_candidates(cand, sigs)
         sig_rows = sigs.map_batches(
             functools.partial(_cogroup_sig_rows,
                               num_buckets=num_partitions),

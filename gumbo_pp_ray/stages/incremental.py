@@ -41,9 +41,10 @@ import pyarrow as pa
 
 from .dedup import (
     HOT_BUCKET_CAP, _attach_a_group, _attach_b_group,
-    _band_bucket_count, _cogroup_pair_rows_a, _cogroup_sig_rows,
-    _distinct_pairs, _rekey_by_other, _sig_matrix, bucket_candidate_ids,
-    bucket_candidate_pairs, lsh_bands, minhash_signatures,
+    _band_bucket_count, _candidate_id_filter, _cogroup_pair_rows_a,
+    _cogroup_sig_rows, _distinct_pairs, _rekey_by_other, _sig_matrix,
+    bucket_candidate_ids, bucket_candidate_pairs, lsh_bands,
+    minhash_signatures,
 )
 
 _PARAMS_FILE = "_index_params.json"
@@ -267,6 +268,16 @@ def minhash_lsh_pairs_incremental(new_ds, index_dir: str, *,
     cand = bandrows.groupby(
         "bucket", num_partitions=num_partitions).map_groups(
         bucket_candidate_ids_incremental, batch_format="pyarrow")
+    # cost-gated semi-join: only candidates' signatures need to ride
+    # the two attach exchanges (dedup._candidate_id_filter) — applied
+    # to BOTH sides, which for the index means most of its parquet
+    # signature bytes never enter the shuffle at all
+    cand, _keep = _candidate_id_filter(cand)
+    if _keep is not None:
+        new_sigs_plain = new_sigs_plain.map_batches(
+            _keep, batch_format="pyarrow")
+        idx_sigs_plain = idx_sigs_plain.map_batches(
+            _keep, batch_format="pyarrow")
 
     def sig_rows_flagged(batch: pa.Table, *, is_new: int) -> pa.Table:
         rows_t = _cogroup_sig_rows(batch, num_buckets=num_partitions)

@@ -273,3 +273,32 @@ def test_local_shortcuts_guarded(ray_session, monkeypatch):
     with pytest.raises(ValueError, match="small-N"):
         dedup.minhash_lsh_pairs(ds, band_exchange="signatures",
                                 pair_dedup="local")
+
+
+def test_cogroup_verify_prune_equivalence(ray_session, monkeypatch):
+    """The cost-gated candidate semi-join prune must not change the
+    ids-plan output: identical pairs with the prune forced ON
+    (default at this scale) and forced OFF (all signatures ride the
+    attach exchanges, the above-the-gate shape)."""
+    import ray.data
+
+    from gumbo_pp_ray.stages import dedup
+
+    texts = [" ".join(f"d{i}w{j}" for j in range(60)) for i in range(30)]
+    texts[7] = texts[3]                       # planted exact dup
+    base = texts[11].split(); base[5] = "X"   # planted near dup
+    texts.append(" ".join(base))
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    def run():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard_est_milli"])
+            for r in dedup.minhash_lsh_pairs(
+                ray.data.from_arrow(t), threshold=0.5,
+                band_exchange="ids").take_all())
+
+    pruned = run()
+    monkeypatch.setattr(dedup, "CAND_BROADCAST_MAX_PAIRS", 0)
+    unpruned = run()
+    assert pruned == unpruned
+    assert (3, 7, 1000) in pruned
