@@ -36,28 +36,57 @@ def _batch_matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(col), -1)
 
 
+_BCAST_STATE_CACHE: dict = {}
+
+
+def _cached_ids_matrix(ref, *, normalize: bool):
+    """Per-worker-process cache of a broadcast {"ids", "matrix"} blob.
+    ray.get of a plasma numpy is already a zero-copy view, so the
+    cache only saves the ids dtype conversion and (for query blobs)
+    the normalize — but it makes task stages exactly as cheap per
+    batch as the old actor __init__ was per actor, WITHOUT the fixed
+    pool spin-up (~2-3 s/pipeline, see dedup._cached_hasher)."""
+    key = (ref.hex() if hasattr(ref, "hex") else id(ref), normalize)
+    st = _BCAST_STATE_CACHE.get(key)
+    if st is None:
+        c = Broadcast.get(ref)
+        m = np.asarray(c["matrix"])
+        st = (np.asarray(c["ids"], dtype=np.int64),
+              _normalize(m) if normalize else m)
+        if len(_BCAST_STATE_CACHE) >= 8:    # blobs can be GBs; bound it
+            _BCAST_STATE_CACHE.clear()
+        _BCAST_STATE_CACHE[key] = st
+    return st
+
+
+def brute_force_topk_batch(batch: pa.Table, *, queries_ref,
+                           k: int = 10) -> pa.Table:
+    """Per-batch top-k against the broadcast query matrix (stateless
+    task stage; query state cached per worker process)."""
+    query_ids, q = _cached_ids_matrix(queries_ref, normalize=True)
+    vecs = _normalize(_batch_matrix(batch))
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    sims = q @ vecs.T                           # (Q, B)
+    k = min(k, sims.shape[1])
+    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # (Q, k)
+    return pa.table({
+        "query_id": pa.array(np.repeat(query_ids, k), pa.int64()),
+        "neighbor_id": pa.array(ids[top.ravel()], pa.int64()),
+        "cosine": pa.array(
+            np.take_along_axis(sims, top, axis=1).ravel(),
+            pa.float64()),
+    })
+
+
 class BruteForceTopK:
-    """Per-batch top-k against the broadcast query matrix."""
+    """Class form of ``brute_force_topk_batch`` (actor-compatible);
+    the pipelines pass the function so the stage runs as tasks."""
 
     def __init__(self, queries_ref, k: int = 10):
-        q = Broadcast.get(queries_ref)          # once per actor
-        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
-        self.q = _normalize(np.asarray(q["matrix"]))
-        self.k = k
+        self._kw = dict(queries_ref=queries_ref, k=k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_batch_matrix(batch))
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        sims = self.q @ vecs.T                  # (Q, B)
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # (Q, k)
-        return pa.table({
-            "query_id": pa.array(np.repeat(self.query_ids, k), pa.int64()),
-            "neighbor_id": pa.array(ids[top.ravel()], pa.int64()),
-            "cosine": pa.array(
-                np.take_along_axis(sims, top, axis=1).ravel(),
-                pa.float64()),
-        })
+        return brute_force_topk_batch(batch, **self._kw)
 
 
 def _topk_reduce_factory(k: int, exclude_self: bool):
@@ -84,15 +113,15 @@ def ann_topk(ds, queries: dict, *, k: int = 10, exclude_self: bool = True,
     """Brute-force exact top-k: Dataset(vec_id, embedding) + broadcast
     queries {"ids": [...], "matrix": ndarray} → (query_id,
     neighbor_id, rank)."""
+    import functools
+
     import ray
-    from ..state.sizing import default_pool_size
-    if concurrency is None:
-        concurrency = default_pool_size()
+    del concurrency        # API compat; stateless task stage now
     ref = ray.put(queries)
     cand = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k + exclude_self},
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+        functools.partial(brute_force_topk_batch, queries_ref=ref,
+                          k=k + exclude_self),
+        batch_format="pyarrow", batch_size=4096)
     return cand.groupby("query_id").map_groups(
         _topk_reduce_factory(k, exclude_self), batch_format="pyarrow")
 
@@ -217,40 +246,45 @@ class NearDupPairs:
     """
 
     def __init__(self, corpus_ref, threshold: float = 0.5):
-        c = Broadcast.get(corpus_ref)           # once per actor
-        self.ids = np.asarray(c["ids"], dtype=np.int64)
-        self.m = c["matrix"]                    # already normalized
-        self.threshold = threshold
+        self._kw = dict(corpus_ref=corpus_ref, threshold=threshold)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_batch_matrix(batch))
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        sims = vecs @ self.m.T                  # (B, N)
-        bi, cj = np.nonzero(sims >= self.threshold)
-        a = ids[bi]
-        b = self.ids[cj]
-        keep = a < b                            # dedupe + drop self
-        return pa.table({
-            "vec_a": pa.array(a[keep], pa.int64()),
-            "vec_b": pa.array(b[keep], pa.int64()),
-        })
+        return neardup_pairs_batch(batch, **self._kw)
+
+
+def neardup_pairs_batch(batch: pa.Table, *, corpus_ref,
+                        threshold: float = 0.5) -> pa.Table:
+    """Task form of NearDupPairs (corpus matrix is a zero-copy plasma
+    view; ids cached per worker process)."""
+    corpus_ids, m = _cached_ids_matrix(corpus_ref, normalize=False)
+    vecs = _normalize(_batch_matrix(batch))
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    sims = vecs @ m.T                           # (B, N)
+    bi, cj = np.nonzero(sims >= threshold)
+    a = ids[bi]
+    b = corpus_ids[cj]
+    keep = a < b                                # dedupe + drop self
+    return pa.table({
+        "vec_a": pa.array(a[keep], pa.int64()),
+        "vec_b": pa.array(b[keep], pa.int64()),
+    })
 
 
 def embedding_neardup_pairs(ds, corpus: dict, *, threshold: float = 0.5,
                             concurrency=None):
     """Dataset(vec_id, embedding) + broadcast {"ids", "matrix"} →
     exact cosine near-dup pairs (vec_a, vec_b)."""
+    import functools
+
     import ray
-    from ..state.sizing import default_pool_size
-    if concurrency is None:
-        concurrency = default_pool_size()
+    del concurrency        # API compat; stateless task stage now
     payload = {"ids": np.asarray(corpus["ids"], dtype=np.int64),
                "matrix": _normalize(np.asarray(corpus["matrix"]))}
     ref = ray.put(payload)
     return ds.map_batches(
-        NearDupPairs,
-        fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+        functools.partial(neardup_pairs_batch, corpus_ref=ref,
+                          threshold=threshold),
+        batch_format="pyarrow", batch_size=4096)
 
 
 # ------------------------------------------------------- IVF scale path
@@ -442,17 +476,22 @@ class KnnGraphScore:
     corpus batch)."""
 
     def __init__(self, corpus_ref, k: int):
-        c = Broadcast.get(corpus_ref)           # once per actor
-        self.ids = np.asarray(c["ids"], dtype=np.int64)
-        self.m = c["matrix"]                    # already normalized
-        self.k = k
+        self._kw = dict(corpus_ref=corpus_ref, k=k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_batch_matrix(batch))
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        sims = vecs @ self.m.T                  # (B, N)
-        sims[ids[:, None] == self.ids[None, :]] = -np.inf
-        return _row_topk_table(sims, ids, self.ids, self.k)
+        return knn_graph_score_batch(batch, **self._kw)
+
+
+def knn_graph_score_batch(batch: pa.Table, *, corpus_ref,
+                          k: int) -> pa.Table:
+    """Task form of KnnGraphScore (corpus matrix is a zero-copy plasma
+    view; ids cached per worker process)."""
+    corpus_ids, m = _cached_ids_matrix(corpus_ref, normalize=False)
+    vecs = _normalize(_batch_matrix(batch))
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    sims = vecs @ m.T                           # (B, N)
+    sims[ids[:, None] == corpus_ids[None, :]] = -np.inf
+    return _row_topk_table(sims, ids, corpus_ids, k)
 
 
 def knn_graph(ds, corpus: dict, *, k: int = 5, concurrency=None):
@@ -467,17 +506,16 @@ def knn_graph(ds, corpus: dict, *, k: int = 5, concurrency=None):
     work, corpus matrix must fit in a worker heap (~10M x 64 float64 ≈
     5 GB).  Past that, use ``knn_graph_lsh`` — bucketed, no broadcast,
     approximate."""
+    import functools
+
     import ray
-    from ..state.sizing import default_pool_size
-    if concurrency is None:
-        concurrency = default_pool_size()
+    del concurrency        # API compat; stateless task stage now
     payload = {"ids": np.asarray(corpus["ids"], dtype=np.int64),
                "matrix": _normalize(np.asarray(corpus["matrix"]))}
     ref = ray.put(payload)
     return ds.map_batches(
-        KnnGraphScore,
-        fn_constructor_kwargs={"corpus_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+        functools.partial(knn_graph_score_batch, corpus_ref=ref, k=k),
+        batch_format="pyarrow", batch_size=4096)
 
 
 def _bucket_knn_group(group: pa.Table, *, k: int) -> pa.Table:
