@@ -302,3 +302,54 @@ def test_cogroup_verify_prune_equivalence(ray_session, monkeypatch):
     unpruned = run()
     assert pruned == unpruned
     assert (3, 7, 1000) in pruned
+
+
+def test_simhash_batch_matches_scalar_reference():
+    """simhash_batch (vectorized: one unpackbits + reduceat) must be
+    bit-for-bit identical to the scalar SimHash.simhash64 reference,
+    including empty docs and single-token docs."""
+    from gumbo_pp_ray.stages.dedup import SimHash, simhash_batch
+
+    rng = np.random.RandomState(3)
+    words = [f"t{i}" for i in range(300)]
+    texts = ["", "solo", "  ", "a b", "unicode éè tokens"]
+    texts += [" ".join(rng.choice(words, rng.randint(1, 120)))
+              for _ in range(40)]
+    out = simhash_batch(tbl(*texts))
+    got = out.column("simhash").to_pylist()
+    for t, g in zip(texts, got):
+        ref = SimHash.simhash64(t)
+        assert np.uint64(np.int64(g)) == np.uint64(ref), t
+
+
+def test_lsh_bands_vectorized_alignment():
+    """lsh_bands emits bands rows per doc in doc-major order with the
+    doc's signature repeated on each (carry mode), identical band
+    keys for identical signatures, distinct keys across bands for the
+    same chunk values, and bucket == band_key mod num_buckets."""
+    from gumbo_pp_ray.stages.dedup import lsh_bands
+
+    sig_a = list(range(16))
+    sig_b = list(range(16))          # identical -> same band keys
+    sig_c = [7] * 16                 # same chunk value in every band
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "signature": pa.array([sig_a, sig_b, sig_c],
+                              pa.list_(pa.int64())),
+    })
+    out = lsh_bands(t, bands=4, rows=4, num_buckets=32)
+    assert out.column("doc_id").to_pylist() == [10] * 4 + [11] * 4 + [12] * 4
+    keys = out.column("band_key").to_pylist()
+    assert keys[0:4] == keys[4:8]            # identical sigs agree
+    # identical chunk VALUES in different bands must not collide
+    assert len(set(keys[8:12])) == 4
+    sigs = out.column("signature").to_pylist()
+    assert sigs[0] == sig_a and sigs[5] == sig_b and sigs[11] == sig_c
+    buckets = out.column("bucket").to_pylist()
+    assert all(b == int(k % np.uint64(32))   # uint64 % py-int would
+               for k, b in zip(np.asarray(keys, dtype=np.int64)  # demote
+                               .astype(np.uint64), buckets))     # to f64
+    # id-only mode drops the signature column, keeps alignment
+    out2 = lsh_bands(t, bands=4, rows=4, carry_signature=False)
+    assert out2.column_names == ["band_key", "doc_id"]
+    assert out2.column("band_key").to_pylist() == keys
