@@ -180,6 +180,14 @@ class MinHasher:
 
 import functools as _functools
 
+#: Per-slice working-set bounds for the vectorized signature stages —
+#: batches are processed in doc-boundary slices of at most this many
+#: shingles/tokens so whole-block batches of long real-web documents
+#: can never blow a worker heap (module constants so tests can pin
+#: slice-boundary equivalence).
+_MINHASH_SHINGLE_BUDGET = 1 << 19
+_SIMHASH_TOKEN_BUDGET = 1 << 20
+
 
 @_functools.lru_cache(maxsize=8)
 def _cached_hasher(num_perm: int, shingle_words: int,
@@ -210,15 +218,28 @@ def minhash_signatures(batch: pa.Table, *, num_perm: int = 128,
                         dtype=np.int64)
     n = len(texts)
     out = np.zeros((n, mh.num_perm), dtype=np.int64)
-    nonempty = counts > 0
-    if nonempty.any():
-        x = np.concatenate([s for s in shingle_arrays if len(s)])
-        # (P, total) permuted hashes; modest memory: P*total*8B
-        hx = (np.outer(mh.a, x) + mh.b[:, None]) % _MERSENNE
-        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(counts[nonempty][:-1], out=starts[1:])
-        mins = np.minimum.reduceat(hx, starts, axis=1)  # (P, docs)
-        out[nonempty] = mins.T.astype(np.int64)
+    # The (P x shingles) permuted-hash matrix is the working set:
+    # bound it by slicing the batch at doc boundaries every ~512k
+    # shingles (P=128 → ≤512 MB per slice) so a whole-block batch of
+    # real web documents can't blow the worker heap.
+    budget = _MINHASH_SHINGLE_BUDGET
+    lo = 0
+    while lo < n:
+        hi, tot = lo, 0
+        while hi < n and (tot == 0 or tot + counts[hi] <= budget):
+            tot += int(counts[hi])
+            hi += 1
+        sl = slice(lo, hi)
+        nonempty = counts[sl] > 0
+        if nonempty.any():
+            x = np.concatenate(
+                [s for s in shingle_arrays[lo:hi] if len(s)])
+            hx = (np.outer(mh.a, x) + mh.b[:, None]) % _MERSENNE
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(counts[sl][nonempty][:-1], out=starts[1:])
+            mins = np.minimum.reduceat(hx, starts, axis=1)  # (P, docs)
+            out[sl][nonempty] = mins.T.astype(np.int64)
+        lo = hi
     offsets = pa.array(
         np.arange(0, (n + 1) * mh.num_perm, mh.num_perm,
                   dtype=np.int32))
@@ -949,28 +970,46 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     result = position i of the little-endian-byte / MSB-first-bit
     unpacking, the same order both construct)."""
     texts = batch.column("text").to_pylist()
-    hs: list = []
+    per_doc: list = []
     counts = np.empty(len(texts), dtype=np.int64)
     for d, t in enumerate(texts):
         toks = t.split()
         counts[d] = len(toks)
-        for tok in toks:
-            b = tok.encode("utf-8")
-            hs.append((zlib.crc32(b) << 32) | zlib.crc32(b + b"#salt"))
-    out = np.zeros(len(texts), dtype=np.uint64)
-    nonempty = counts > 0
-    if hs:
-        arr = np.asarray(hs, dtype=np.uint64)
-        bits = np.unpackbits(arr.view(np.uint8).reshape(len(arr), 8),
-                             axis=1).astype(np.int64)     # (T, 64)
-        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(counts[nonempty][:-1], out=starts[1:])
-        sums = np.add.reduceat(bits, starts, axis=0)       # (docs, 64)
-        # majority: acc_i = 2*sum_i - n_tok > 0
-        maj = (2 * sums) > counts[nonempty][:, None]
-        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        out[nonempty] = (maj * weights[None, :]).sum(
-            axis=1, dtype=np.uint64)
+        per_doc.append([
+            (zlib.crc32(b) << 32) | zlib.crc32(b + b"#salt")
+            for b in (tok.encode("utf-8") for tok in toks)])
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    # the (tokens x 64) unpacked-bit matrix is the working set: slice
+    # the batch at doc boundaries every ~1M tokens (≤64 MB of uint8
+    # bits + ≤512 MB int32 sums worst case → int32 keeps it ≤320 MB)
+    # so whole-block batches of long documents stay heap-bounded
+    budget = _SIMHASH_TOKEN_BUDGET
+    lo = 0
+    while lo < n:
+        hi, tot = lo, 0
+        while hi < n and (tot == 0 or tot + counts[hi] <= budget):
+            tot += int(counts[hi])
+            hi += 1
+        sl = slice(lo, hi)
+        nonempty = counts[sl] > 0
+        if tot:
+            arr = np.asarray(
+                [h for doc in per_doc[lo:hi] for h in doc],
+                dtype=np.uint64)
+            bits = np.unpackbits(
+                arr.view(np.uint8).reshape(len(arr), 8),
+                axis=1).astype(np.int32)                   # (T, 64)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(counts[sl][nonempty][:-1], out=starts[1:])
+            sums = np.add.reduceat(bits, starts, axis=0)   # (docs, 64)
+            # majority: acc_i = 2*sum_i - n_tok > 0
+            maj = (2 * sums.astype(np.int64)) \
+                > counts[sl][nonempty][:, None]
+            out[sl][nonempty] = (maj * weights[None, :]).sum(
+                axis=1, dtype=np.uint64)
+        lo = hi
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "simhash": pa.array(out.view(np.int64)),

@@ -353,3 +353,26 @@ def test_lsh_bands_vectorized_alignment():
     out2 = lsh_bands(t, bands=4, rows=4, carry_signature=False)
     assert out2.column_names == ["band_key", "doc_id"]
     assert out2.column("band_key").to_pylist() == keys
+
+
+def test_signature_stages_slice_boundary_equivalence(monkeypatch):
+    """The heap-bounding doc-boundary slicing inside
+    minhash_signatures / simhash_batch must not change any value:
+    force tiny budgets so every slice boundary shape (multi-doc
+    slice, single-doc slice, oversized single doc, empty doc at a
+    boundary) is exercised and compare to the unsliced output."""
+    from gumbo_pp_ray.stages import dedup
+
+    rng = np.random.RandomState(11)
+    words = [f"q{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, rng.randint(1, 90)))
+             for _ in range(25)]
+    texts[3] = ""                               # empty at a boundary
+    texts[7] = " ".join(rng.choice(words, 400))  # oversized single doc
+    t = tbl(*texts)
+    big_m = dedup.minhash_signatures(t)
+    big_s = dedup.simhash_batch(t)
+    monkeypatch.setattr(dedup, "_MINHASH_SHINGLE_BUDGET", 50)
+    monkeypatch.setattr(dedup, "_SIMHASH_TOKEN_BUDGET", 64)
+    assert dedup.minhash_signatures(t).equals(big_m)
+    assert dedup.simhash_batch(t).equals(big_s)
