@@ -1033,27 +1033,33 @@ def _q_tfidf_scores(sf_dir: str):
 
 def _q_decontam(sf_dir: str):
     """Benchmark decontamination (flag documents sharing word 3-grams
-    with the docs-0-4 benchmark set) under BOTH plans folded into one
-    query: the broadcast-set plan (plan='broadcast') and the
-    no-broadcast gram-hash shuffle-join scale plan (plan='shuffle').
-    The two plans must emit identical rows, so one oracle body pinned
-    per plan literal keeps them mutually verified every round."""
+    with the docs-0-4 benchmark set) under ALL THREE plans folded into
+    one query: the broadcast-set plan (plan='broadcast'), the
+    no-broadcast gram-hash shuffle-join scale plan (plan='shuffle'),
+    and the Bloom-prefilter plan (plan='bloom': ~2 MB bitarray
+    broadcast + exact co-group verification of bloom-positive suspects
+    only — the 100 TB default).  All plans must emit identical rows,
+    so one oracle body pinned per plan literal keeps them mutually
+    verified every round."""
     import ray
     import pyarrow.parquet as pq
     from gumbo_pp_ray.stages.corpus_stats import (
-        decontaminate, decontaminate_shuffle, ngram_set,
+        decontaminate, decontaminate_bloom, decontaminate_shuffle,
+        ngram_set,
     )
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["doc_id", "text"],
                       filters=[("doc_id", "<", 5)])
     bench_ref = ray.put(ngram_set(t.column("text").to_pylist(), n=3))
     docs = _docs(sf_dir, ("doc_id", "text"))
+    bench_ds = docs.filter(expr="doc_id < 5")
     bcast = decontaminate(docs, bench_ref, n=3).map_batches(
         _tag_lit("plan", "broadcast"), batch_format="pyarrow")
-    shuf = decontaminate_shuffle(
-        docs, docs.filter(expr="doc_id < 5"), n=3).map_batches(
+    shuf = decontaminate_shuffle(docs, bench_ds, n=3).map_batches(
         _tag_lit("plan", "shuffle"), batch_format="pyarrow")
-    return bcast.union(shuf)
+    blm = decontaminate_bloom(docs, bench_ds, n=3).map_batches(
+        _tag_lit("plan", "bloom"), batch_format="pyarrow")
+    return bcast.union(shuf).union(blm)
 
 
 def _q_substring_dedup(sf_dir: str):
@@ -2093,7 +2099,8 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS contaminated,
                    p.plan
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-            CROSS JOIN (VALUES ('broadcast'), ('shuffle')) AS p(plan)
+            CROSS JOIN (VALUES ('broadcast'), ('shuffle'),
+                               ('bloom')) AS p(plan)
         """,
         "samples": """
             SELECT doc_id, '' AS stratum, 'hash20' AS method

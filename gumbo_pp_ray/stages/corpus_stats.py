@@ -271,11 +271,21 @@ def decontaminate_shuffle(ds, bench_ds, *, n: int = 3,
         functools.partial(_decon_gram_rows, n=n,
                           num_buckets=num_partitions, is_bench=False),
         batch_format="pyarrow")
+    return _exact_gram_verify(ds, grams, bench_ds, n=n,
+                              num_partitions=num_partitions)
+
+
+def _exact_gram_verify(ds, doc_gram_rows, bench_ds, *, n: int,
+                       num_partitions: int):
+    """Shared tail of the shuffle/bloom plans: doc gram rows (already
+    pruned or not) ∪ bench gram rows → gram-hash membership co-group →
+    doc-hash hit sum with anchors (every doc appears, zeros
+    included)."""
     bench_grams = bench_ds.map_batches(
         functools.partial(_decon_gram_rows, n=n,
                           num_buckets=num_partitions, is_bench=True),
         batch_format="pyarrow")
-    partial_hits = grams.union(bench_grams).groupby(
+    partial_hits = doc_gram_rows.union(bench_grams).groupby(
         "bucket", num_partitions=num_partitions).map_groups(
         functools.partial(_gram_hits_group, num_buckets=num_partitions),
         batch_format="pyarrow")
@@ -285,3 +295,141 @@ def decontaminate_shuffle(ds, bench_ds, *, n: int = 3,
     return anchors.union(partial_hits).groupby(
         "bucket", num_partitions=num_partitions).map_groups(
         _sum_hits_group, batch_format="pyarrow")
+
+
+# ------------------------------------- Bloom-accelerated decontamination
+
+#: Bloom parameters: bits must be a power of two (positions come from
+#: 32-bit CRCs masked to the bit width).  The defaults (16M bits =
+#: 2 MB, 4 salted hashes) give ~0.24% false-positive rate at 1M bench
+#: grams — false positives only cost a little extra EXACT verification,
+#: never a wrong answer.
+BLOOM_BITS_DEFAULT = 1 << 24
+BLOOM_K_DEFAULT = 4
+_BLOOM_SALTS = (b"#bl0", b"#bl1", b"#bl2", b"#bl3",
+                b"#bl4", b"#bl5", b"#bl6", b"#bl7")
+
+
+def _bloom_positions(grams: list, *, bits: int, k: int) -> np.ndarray:
+    """(G, k) bit positions from k salted CRC32s per gram."""
+    import zlib
+    pos = np.empty((len(grams), k), dtype=np.uint32)
+    salts = _BLOOM_SALTS[:k]
+    for gi, g in enumerate(grams):
+        b = g.encode("utf-8")
+        for i, salt in enumerate(salts):
+            pos[gi, i] = zlib.crc32(b + salt)
+    return pos & np.uint32(bits - 1)
+
+
+def _bloom_test(bloom: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """(G, k) positions → (G,) bool: all k bits set."""
+    bit = (bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bit.all(axis=1)
+
+
+def build_bench_bloom(bench_ds, *, n: int = 3,
+                      bits: int = BLOOM_BITS_DEFAULT,
+                      k: int = BLOOM_K_DEFAULT):
+    """Benchmark Dataset(text) → (ray.ObjectRef of a packed uint8
+    Bloom bitarray, params dict).  Built distributed: each block emits
+    one bits/8-byte partial bitmap, OR-merged on the driver (blocks x
+    2 MB of driver traffic at the defaults; for benchmark sets big
+    enough that that matters, use decontaminate_shuffle — the Bloom
+    plan's whole premise is a bench set that fits a broadcast)."""
+    import ray
+    if bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two, got {bits}")
+    if not 1 <= k <= len(_BLOOM_SALTS):
+        raise ValueError(f"k must be 1..{len(_BLOOM_SALTS)}, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        grams = set()
+        for t in texts:
+            toks = t.split()
+            for j in range(len(toks) - n + 1):
+                grams.add(" ".join(toks[j:j + n]))
+        arr = np.zeros(bits // 8, dtype=np.uint8)
+        if grams:
+            p = _bloom_positions(sorted(grams), bits=bits,
+                                 k=k).reshape(-1)
+            np.bitwise_or.at(
+                arr, p >> 3,
+                (np.uint8(1) << (p & 7).astype(np.uint8)))
+        return pa.table({"bloom": pa.array([arr.tobytes()],
+                                           pa.binary())})
+
+    acc = np.zeros(bits // 8, dtype=np.uint8)
+    for row in bench_ds.map_batches(
+            partial, batch_format="pyarrow").take_all():
+        acc |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    return ray.put(acc), {"bits": bits, "k": k, "n": n}
+
+
+def _bloom_suspect_rows(batch: pa.Table, *, n: int, num_buckets: int,
+                        bloom_ref, bits: int, k: int) -> pa.Table:
+    """Docs → gram rows for BLOOM-POSITIVE distinct grams only (the
+    suspects the exact verify must adjudicate).  The bitarray is a
+    zero-copy plasma view per task."""
+    import ray
+    bloom = (ray.get(bloom_ref)
+             if not isinstance(bloom_ref, np.ndarray) else bloom_ref)
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_pylist()
+    out_id, out_g = [], []
+    for i, t in zip(ids, texts):
+        toks = t.split()
+        grams = sorted({" ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1)})
+        if not grams:
+            continue
+        hit = _bloom_test(bloom,
+                          _bloom_positions(grams, bits=bits, k=k))
+        for g, h in zip(grams, hit):
+            if h:
+                out_id.append(i)
+                out_g.append(g)
+    return pa.table({
+        "bucket": _bucket_str(out_g, num_buckets),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "gram": pa.array(out_g, pa.string()),
+    })
+
+
+def decontaminate_bloom(ds, bench_ds, *, n: int = 3,
+                        bits: int = BLOOM_BITS_DEFAULT,
+                        k: int = BLOOM_K_DEFAULT,
+                        num_partitions: int = 16, bloom=None):
+    """Bloom-accelerated EXACT decontamination — the 100 TB default
+    when the benchmark fits a broadcast but the corpus dwarfs it:
+
+    1. a ~2 MB Bloom bitarray of the bench n-grams is broadcast once
+       (vs the broadcast plan's full Python gram set — hundreds of MB
+       of driver/actor heap for large suites, and vs the shuffle
+       plan's full doc-gram exchange — the corpus' every distinct
+       n-gram through an all-to-all);
+    2. each doc's distinct grams are bloom-tested in the map — clean
+       docs (the overwhelming majority) contribute NOTHING to the
+       exchange;
+    3. only bloom-positive suspect grams ride the exact gram-hash
+       co-group verify, so false positives cost a few extra verified
+       rows, never a wrong answer.  Output schema and values
+       identical to ``decontaminate`` / ``decontaminate_shuffle``.
+
+    ``bloom``: pass a prebuilt ``(ref, params)`` from
+    ``build_bench_bloom`` to amortize the build across shards."""
+    if bloom is None:
+        bloom = build_bench_bloom(bench_ds, n=n, bits=bits, k=k)
+    bloom_ref, params = bloom
+    if params["n"] != n:
+        raise ValueError(
+            f"bloom was built for n={params['n']}, called with n={n}")
+    suspects = ds.map_batches(
+        functools.partial(_bloom_suspect_rows, n=n,
+                          num_buckets=num_partitions,
+                          bloom_ref=bloom_ref,
+                          bits=params["bits"], k=params["k"]),
+        batch_format="pyarrow")
+    return _exact_gram_verify(ds, suspects, bench_ds, n=n,
+                              num_partitions=num_partitions)

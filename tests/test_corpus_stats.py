@@ -157,3 +157,96 @@ def test_decontaminate_shuffle_empty_bench_side(ray_session):
     assert len(out) == 10
     assert (out["n_contaminated"] == 0).all()
     assert (out["contaminated"] == 0).all()
+
+
+def test_decontaminate_bloom_matches_broadcast(ray_session):
+    """The Bloom-prefilter plan is EXACT: identical output to the
+    broadcast plan (schema and values, zero-hit docs included), and
+    the prefilter genuinely prunes — suspect gram rows are a small
+    fraction of the corpus' distinct grams."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from gumbo_pp_ray.stages.corpus_stats import (
+        _bloom_suspect_rows, build_bench_bloom, decontaminate,
+        decontaminate_bloom, ngram_set,
+    )
+
+    texts = [f"alpha beta gamma delta {i} epsilon zeta" for i in range(30)]
+    texts += ["alpha beta gamma shared phrase here"] * 3
+    texts += ["totally different words nothing shared"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    bench_texts = ["alpha beta gamma shared phrase here",
+                   "epsilon zeta nothing"]
+    ds = ray.data.from_arrow(t).repartition(4)
+    bench_ds = ray.data.from_arrow(
+        pa.table({"text": bench_texts})).repartition(2)
+
+    ref = ray.put(ngram_set(bench_texts, n=3))
+    want = decontaminate(ds, ref, n=3, concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = build_bench_bloom(bench_ds, n=3)
+    got = decontaminate_bloom(ds, bench_ds, n=3, num_partitions=4,
+                              bloom=bloom) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    assert got["contaminated"].sum() >= 3
+    assert (got["n_contaminated"] == 0).any()
+    # the prefilter prunes: suspect rows << distinct doc grams
+    import numpy as np
+    bloom_arr = ray.get(bloom[0])
+    suspects = _bloom_suspect_rows(
+        t, n=3, num_buckets=4, bloom_ref=bloom_arr,
+        bits=bloom[1]["bits"], k=bloom[1]["k"])
+    n_doc_grams = sum(
+        len({" ".join(tx.split()[j:j + 3])
+             for j in range(len(tx.split()) - 2)}) for tx in texts)
+    assert 0 < suspects.num_rows < n_doc_grams // 2
+
+
+def test_bloom_false_positive_never_leaks(ray_session):
+    """Even a Bloom filter that claims EVERYTHING (all bits set) must
+    not change the output — exact verification adjudicates every
+    suspect."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from gumbo_pp_ray.stages.corpus_stats import (
+        decontaminate, decontaminate_bloom, ngram_set,
+    )
+
+    texts = [f"unique words {i} in this doc" for i in range(12)]
+    texts.append("planted overlap three gram here")
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    bench_texts = ["planted overlap three gram here"]
+    ds = ray.data.from_arrow(t).repartition(3)
+    bench_ds = ray.data.from_arrow(pa.table({"text": bench_texts}))
+
+    bits = 1 << 12
+    all_set = ray.put(np.full(bits // 8, 0xFF, dtype=np.uint8))
+    got = decontaminate_bloom(
+        ds, bench_ds, n=3, num_partitions=4,
+        bloom=(all_set, {"bits": bits, "k": 2, "n": 3})) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = ray.put(ngram_set(bench_texts, n=3))
+    want = decontaminate(ds, ref, n=3, concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+
+def test_bloom_param_validation():
+    import pytest
+
+    from gumbo_pp_ray.stages.corpus_stats import (
+        build_bench_bloom, decontaminate_bloom,
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        build_bench_bloom(None, bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        build_bench_bloom(None, k=0)
+    with pytest.raises(ValueError, match="built for n="):
+        decontaminate_bloom(None, None, n=4,
+                            bloom=(None, {"bits": 8, "k": 2, "n": 3}))
