@@ -245,6 +245,25 @@ def _stratum_top_k(group: pa.Table, *, k: int, key_col: str,
     return group.take(pa.array(sorted(ranked[:k]), pa.int64()))
 
 
+def _stratum_top_k_partial(batch: pa.Table, *, k: int,
+                           stratum_col: str, key_col: str,
+                           salt: str) -> pa.Table:
+    """Per-block combiner: at most k rows PER STRATUM survive each
+    block, so the merge shuffle moves ≤ k x strata x blocks rows
+    instead of the whole corpus.  Top-k of a union is the top-k of
+    per-part top-ks, so the combine is lossless."""
+    strata = batch.column(stratum_col).to_pylist()
+    keep: list = []
+    by_stratum: dict = {}
+    for i, s in enumerate(strata):
+        by_stratum.setdefault(s, []).append(i)
+    for rows in by_stratum.values():
+        sub = batch.take(pa.array(rows, pa.int64()))
+        kept = _stratum_top_k(sub, k=k, key_col=key_col, salt=salt)
+        keep.append(kept)
+    return pa.concat_tables(keep) if keep else batch.slice(0, 0)
+
+
 def stratified_sample(ds, *, stratum_col: str = "lang", k: int = 20,
                       key_col: str = "doc_id", salt: str = "42",
                       num_partitions: int | None = None):
@@ -252,11 +271,22 @@ def stratified_sample(ds, *, stratum_col: str = "lang", k: int = 20,
     the k members with the smallest md5(salt:key) rank.  Same keys on
     every run and partitioning (no RNG state), and SQL-reproducible:
     ``row_number() OVER (PARTITION BY stratum ORDER BY md5(...), key)
-    <= k``.  The shuffle moves full rows of ONE stratum per group —
-    prune columns before sampling when rows are wide."""
+    <= k``.
+
+    Scale shape: a per-block combiner keeps ≤ k rows per stratum per
+    block BEFORE the shuffle (top-k of a union = top-k of per-part
+    top-ks), so the stratum merge group holds ≤ k x blocks rows —
+    never a whole stratum.  Without the combiner a popular stratum
+    (e.g. lang='en' at web scale) would ship its ENTIRE row set into
+    one map_groups call."""
     import functools
-    gb = (ds.groupby(stratum_col, num_partitions=num_partitions)
-          if num_partitions else ds.groupby(stratum_col))
+    partial = ds.map_batches(
+        functools.partial(_stratum_top_k_partial, k=k,
+                          stratum_col=stratum_col, key_col=key_col,
+                          salt=salt),
+        batch_format="pyarrow")
+    gb = (partial.groupby(stratum_col, num_partitions=num_partitions)
+          if num_partitions else partial.groupby(stratum_col))
     return gb.map_groups(
         functools.partial(_stratum_top_k, k=k, key_col=key_col,
                           salt=salt),
