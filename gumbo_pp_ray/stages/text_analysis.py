@@ -364,7 +364,29 @@ def top_tokens_by_group(ds, *, group_col: str = "lang", k: int = 5):
     summed = (ds.map_batches(combine, batch_format="pyarrow")
                 .groupby([group_col, "token"])
                 .aggregate(ray.data.aggregate.Sum("n", alias_name="n")))
-    return summed.groupby(group_col).map_groups(
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # per-block combiner: after the Sum aggregate each (group,
+        # token) is globally unique, so block-local top-k per group is
+        # LOSSLESS and the final merge group holds ≤ k x blocks rows —
+        # never a whole language's vocabulary (the unbounded-group
+        # trap at web scale).  rank is dropped (recomputed at merge).
+        groups = batch.column(group_col).to_pylist()
+        idx_by_g: dict = {}
+        for i, g in enumerate(groups):
+            idx_by_g.setdefault(g, []).append(i)
+        parts = []
+        for rows in idx_by_g.values():
+            sub = batch.take(pa.array(rows, pa.int64()))
+            parts.append(sub.sort_by(
+                [("n", "descending"), ("token", "ascending")])
+                .slice(0, k))
+        return (pa.concat_tables(parts) if parts
+                else batch.slice(0, 0))
+
+    return summed.map_batches(
+        partial_topk, batch_format="pyarrow").groupby(
+        group_col).map_groups(
         functools.partial(_topk_tokens_group, k=k, group_col=group_col),
         batch_format="pyarrow")
 
