@@ -757,8 +757,15 @@ def _q_norm_text(sf_dir: str):
     derivation of each doc — the synthetic corpus contains no PII, so
     the seed (same ``||``-concat recomputed by the oracle) makes the
     redaction path non-trivial and hash-pinned: every doc redacts one
-    email, one IP and one phone."""
-    from gumbo_pp_ray.stages.text_analysis import normalize_text, scrub_pii
+    email, one IP and one phone.  mode='linededup' is corpus-level
+    line dedup (C4/CCNet boilerplate-line removal,
+    text_analysis.line_dedup): 8-token derived lines, every
+    occurrence of a cross-doc-repeated line removed, docs rebuilt —
+    a two-co-group distributed pipeline whose exact output the
+    oracle recomputes with a window-free GROUP BY."""
+    from gumbo_pp_ray.stages.text_analysis import (
+        line_dedup, normalize_text, scrub_pii,
+    )
 
     def norm_branch(t: pa.Table) -> pa.Table:
         out = normalize_text(t)
@@ -795,10 +802,23 @@ def _q_norm_text(sf_dir: str):
             "n_redactions": out.column("n_redactions"),
         })
 
+    def linededup_branch(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "mode": pa.array(["linededup"] * n, pa.string()),
+            "out_text": t.column("out_text"),
+            "out_hash": t.column("out_hash"),
+            "n_redactions": t.column("n_removed"),
+        })
+
     docs = _docs(sf_dir, ("doc_id", "text"))
     norm = docs.map_batches(norm_branch, batch_format="pyarrow")
     pii = docs.map_batches(pii_branch, batch_format="pyarrow")
-    return norm.union(pii)
+    ldl = line_dedup(docs, tokens_per_line=8, max_docs=1,
+                     num_partitions=8).map_batches(
+        linededup_branch, batch_format="pyarrow")
+    return norm.union(pii).union(ldl)
 
 
 def _q_session_windows(sf_dir: str):
@@ -1994,6 +2014,35 @@ def oracle_sql() -> dict[str, str]:
                                       '<PHONE>', 'g') AS t
                 FROM s2
             )
+            , toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ),
+            ldl AS (
+                SELECT doc_id, i AS line_idx,
+                       array_to_string(t[(i*8+1):(i*8+8)], ' ') AS line
+                FROM toks, unnest(generate_series(
+                    0, CAST(ceil(len(t)/8.0) AS BIGINT) - 1)) AS u(i)
+            ),
+            lfreq AS (
+                SELECT line, count(DISTINCT doc_id) AS nd
+                FROM ldl GROUP BY 1
+            ),
+            flagged AS (
+                SELECT l.doc_id, l.line_idx, l.line,
+                       CASE WHEN f.nd > 1 THEN 1 ELSE 0 END AS rm
+                FROM ldl l JOIN lfreq f USING (line)
+            ),
+            rebuilt AS (
+                SELECT d.doc_id,
+                       COALESCE(string_agg(
+                           CASE WHEN g.rm = 0 THEN g.line END,
+                           chr(10) ORDER BY g.line_idx), '') AS out_text,
+                       CAST(COALESCE(sum(g.rm), 0) AS BIGINT) AS n_rm
+                FROM documents d LEFT JOIN flagged g USING (doc_id)
+                GROUP BY d.doc_id
+            )
             SELECT doc_id, mode, out_text, md5(out_text) AS out_hash,
                    n_redactions
             FROM norm
@@ -2001,6 +2050,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'pii', t, md5(t),
                    CAST(c1 + c2 + c3 AS BIGINT)
             FROM s3
+            UNION ALL
+            SELECT doc_id, 'linededup', out_text, md5(out_text), n_rm
+            FROM rebuilt
         """,
         "session_windows": """
             WITH marks AS (

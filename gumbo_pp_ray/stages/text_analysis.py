@@ -487,3 +487,167 @@ def chunk_documents(batch: pa.Table, *, chunk_tokens: int = 128,
         "chunk_text": pa.array(out_text, pa.string()),
         "n_tokens": pa.array(out_n, pa.int64()),
     })
+
+
+# ------------------------------------------------- corpus line dedup
+
+_LINE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _line_rows(batch: pa.Table, *, tokens_per_line: int,
+               num_buckets: int) -> pa.Table:
+    """Docs → one row per derived line (consecutive
+    ``tokens_per_line``-token groups of ``text.split()``), keyed by a
+    line-hash bucket: (bucket, doc_id, line_idx, line)."""
+    import zlib as _z
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_idx, out_line = [], [], []
+    for i, t in zip(ids, texts):
+        toks = t.split()
+        for j in range(0, len(toks), tokens_per_line):
+            out_id.append(i)
+            out_idx.append(j // tokens_per_line)
+            out_line.append(" ".join(toks[j:j + tokens_per_line]))
+    bucket = np.array(
+        [_z.crc32(x.encode("utf-8")) % num_buckets for x in out_line],
+        dtype=np.int64)
+    return pa.table({
+        "bucket": pa.array(bucket),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "line_idx": pa.array(out_idx, pa.int64()),
+        "line": pa.array(out_line, pa.string()),
+    })
+
+
+def _mark_dup_lines(group: pa.Table, *, max_docs: int,
+                    num_buckets: int) -> pa.Table:
+    """One line-hash bucket: flag every occurrence of a line that
+    appears in more than ``max_docs`` distinct docs.  Vectorized:
+    Arrow sort by (line, doc_id), run bounds by shifted inequality,
+    distinct-doc counts via reduceat over doc-boundary marks.  Output
+    rows re-keyed by DOC bucket for the rebuild co-group."""
+    t = group.sort_by([("line", "ascending"), ("doc_id", "ascending")])
+    n = t.num_rows
+    line = t.column("line")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    if n == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "line_idx": pa.array([], pa.int64()),
+                         "line": pa.array([], pa.string()),
+                         "kept": pa.array([], pa.int8())})
+    import pyarrow.compute as pc
+    new_line = np.ones(n, dtype=bool)
+    if n > 1:
+        new_line[1:] = pc.not_equal(
+            line.slice(1), line.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+    new_doc = np.ones(n, dtype=bool)
+    if n > 1:
+        new_doc[1:] = ids[1:] != ids[:-1]
+    starts = np.flatnonzero(new_line)
+    # distinct docs per line run = count of doc boundaries in the run
+    nd = np.add.reduceat((new_line | new_doc).astype(np.int64), starts)
+    run_id = np.cumsum(new_line) - 1
+    kept = (nd <= max_docs)[run_id]
+    return pa.table({
+        "bucket": pa.array(
+            ((ids.astype(np.uint64) * _LINE_MIX)
+             % np.uint64(num_buckets)).astype(np.int64)),
+        "doc_id": t.column("doc_id"),
+        "line_idx": t.column("line_idx"),
+        "line": line,
+        "kept": pa.array(kept.astype(np.int8)),
+    })
+
+
+def _doc_anchor_rows_line(batch: pa.Table, *, num_buckets: int
+                          ) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(ids)
+    return pa.table({
+        "bucket": pa.array(
+            ((ids.astype(np.uint64) * _LINE_MIX)
+             % np.uint64(num_buckets)).astype(np.int64)),
+        "doc_id": pa.array(ids.astype(np.int64)),
+        "line_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+        "line": pa.array([""] * n, pa.string()),
+        "kept": pa.array(np.full(n, -1, dtype=np.int8)),
+    })
+
+
+def _rebuild_docs_group(group: pa.Table) -> pa.Table:
+    """One doc-hash bucket: per doc, kept lines joined by newline in
+    line_idx order + removed-line count.  Anchor rows (kept=-1)
+    guarantee every doc appears, even fully-removed or empty ones."""
+    import hashlib
+    t = group.sort_by([("doc_id", "ascending"),
+                       ("line_idx", "ascending")])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    kept = t.column("kept").to_numpy(zero_copy_only=False)
+    lines = t.column("line").to_pylist()
+    out_id, out_text, out_hash, out_rm = [], [], [], []
+    lo = 0
+    n = len(ids)
+    while lo < n:
+        hi = lo
+        while hi < n and ids[hi] == ids[lo]:
+            hi += 1
+        doc_lines = [lines[j] for j in range(lo, hi) if kept[j] == 1]
+        n_rm = int((kept[lo:hi] == 0).sum())
+        text = "\n".join(doc_lines)
+        out_id.append(int(ids[lo]))
+        out_text.append(text)
+        out_hash.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+        out_rm.append(n_rm)
+        lo = hi
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "out_text": pa.array(out_text, pa.string()),
+        "out_hash": pa.array(out_hash, pa.string()),
+        "n_removed": pa.array(out_rm, pa.int64()),
+    })
+
+
+def line_dedup(ds, *, tokens_per_line: int = 8, max_docs: int = 1,
+               num_partitions: int = 16):
+    """Corpus-level line deduplication (the C4/CCNet hygiene step:
+    drop boilerplate lines repeated across documents).  Lines are
+    consecutive ``tokens_per_line``-token groups of ``text.split()``
+    (real corpora would split on newlines; the derivation keeps the
+    operator exactly SQL-reproducible over the newline-free synthetic
+    corpus).  EVERY occurrence of a line appearing in more than
+    ``max_docs`` distinct docs is removed; docs are rebuilt from their
+    kept lines in order (newline-joined) with a removed count.
+
+    Scale shape — two bucketed co-groups, no broadcast, no driver
+    state, mirrors corpus_stats.decontaminate_shuffle:
+
+    1. line-hash co-group: all occurrences of a line necessarily meet;
+       distinct-doc counts are one Arrow sort + two shifted-equality
+       masks + one ``reduceat`` per bucket;
+    2. doc-hash co-group: kept lines reassemble per doc (the line
+       strings ride the exchange because the rebuild needs them
+       anyway — re-reading the docs would cost more than shipping
+       the lines once); anchor rows keep empty/fully-removed docs
+       present.
+
+    Output: (doc_id, out_text, out_hash, n_removed)."""
+    import functools
+    rows = ds.map_batches(
+        functools.partial(_line_rows, tokens_per_line=tokens_per_line,
+                          num_buckets=num_partitions),
+        batch_format="pyarrow")
+    marked = rows.groupby(
+        "bucket", num_partitions=num_partitions).map_groups(
+        functools.partial(_mark_dup_lines, max_docs=max_docs,
+                          num_buckets=num_partitions),
+        batch_format="pyarrow")
+    anchors = ds.select_columns(["doc_id"]).map_batches(
+        functools.partial(_doc_anchor_rows_line,
+                          num_buckets=num_partitions),
+        batch_format="pyarrow")
+    return anchors.union(marked).groupby(
+        "bucket", num_partitions=num_partitions).map_groups(
+        _rebuild_docs_group, batch_format="pyarrow")

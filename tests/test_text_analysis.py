@@ -211,3 +211,41 @@ def test_scrub_pii_rule_order_is_sequential():
     out = scrub_pii(t).to_pylist()[0]
     assert out["scrubbed"] == "<EMAIL> <IP> <PHONE>"
     assert (out["n_email"], out["n_ip"], out["n_phone"]) == (1, 1, 1)
+
+
+def test_line_dedup_planted_boilerplate(ray_session):
+    """Corpus line dedup: every occurrence of a cross-doc-repeated
+    8-token line is removed (including repeats WITHIN a doc), unique
+    lines survive in order, all-unique docs are untouched, and a doc
+    whose text is empty still appears (anchor rows)."""
+    import hashlib
+
+    import ray.data
+
+    from gumbo_pp_ray.stages.text_analysis import line_dedup
+
+    boiler = "copyright footer all rights reserved site map contact"
+    uniq = [" ".join(f"d{i}w{j}" for j in range(8)) for i in range(6)]
+    texts = [
+        f"{uniq[0]} {boiler}",            # boiler at line 1
+        f"{boiler} {uniq[1]} {boiler}",   # boiler twice in one doc
+        f"{uniq[2]} {uniq[3]}",           # untouched
+        "",                               # empty doc -> anchor only
+        f"{uniq[4]} {boiler} {uniq[5]}",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    out = {r["doc_id"]: r for r in line_dedup(
+        ray.data.from_arrow(t), tokens_per_line=8, max_docs=1,
+        num_partitions=4).take_all()}
+    assert len(out) == 5
+    assert out[0]["out_text"] == uniq[0] and out[0]["n_removed"] == 1
+    assert out[1]["out_text"] == uniq[1] and out[1]["n_removed"] == 2
+    assert out[2]["out_text"] == f"{uniq[2]}\n{uniq[3]}"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["out_text"] == "" and out[3]["n_removed"] == 0
+    assert out[4]["out_text"] == f"{uniq[4]}\n{uniq[5]}"
+    assert out[4]["n_removed"] == 1
+    for r in out.values():
+        assert r["out_hash"] == hashlib.md5(
+            r["out_text"].encode("utf-8")).hexdigest()
