@@ -61,15 +61,21 @@ def keep_first_in_group(group: pa.Table) -> pa.Table:
 
 
 def _hash_str_bucket(col, num_buckets: int) -> np.ndarray:
-    """md5-hex string column → int64 bucket, vectorized: the 32 hex
-    chars are viewed as 4 uint64 words and XOR-folded (the digest is
-    already uniform, no further mixing needed)."""
+    """md5-hex string column → int64 bucket, vectorized.  The hex
+    NIBBLES are decoded back to digest bytes first — XOR-folding the
+    raw ASCII (an earlier revision) kept the hex alphabet's fixed
+    high-nibble bits, leaving most buckets unreachable and skewing
+    per-bucket load up to ~129x at the 65536-bucket cap; decoded
+    digest bytes are uniform by construction."""
     s = np.ascontiguousarray(
         col.to_numpy(zero_copy_only=False).astype("S32"))
     if len(s) == 0:
         return np.empty(0, dtype=np.int64)
-    v = s.view(np.uint64).reshape(len(s), 4)
-    return ((v[:, 0] ^ v[:, 1] ^ v[:, 2] ^ v[:, 3])
+    a = s.view(np.uint8).reshape(len(s), 32)
+    nib = (a - 48 - (a >= 97) * 39).astype(np.uint8)   # '0'-'9','a'-'f'
+    by = (nib[:, 0::2] << 4) | nib[:, 1::2]            # (n, 16) bytes
+    v = np.ascontiguousarray(by).view(np.uint64)       # (n, 2) words
+    return ((v[:, 0] ^ v[:, 1])
             % np.uint64(num_buckets)).astype(np.int64)
 
 
@@ -302,7 +308,14 @@ def lsh_bands(batch: pa.Table, *, bands: int = 16, rows: int = 8,
             cols["bucket"] = pa.array([], pa.int64())
         return pa.table(cols)
     mat = _sig_matrix(batch.column("signature"))
-    chunks = mat.reshape(n, bands, rows).astype(np.uint64)
+    if bands * rows > mat.shape[1]:
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds signature width "
+            f"{mat.shape[1]}")
+    # bands*rows may be < num_perm (trailing slots unused), matching
+    # the per-band slicing semantics of the scalar construction
+    chunks = mat[:, :bands * rows].reshape(n, bands,
+                                           rows).astype(np.uint64)
     h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
     # band id folded in first: identical slot values in different
     # bands land under different keys
@@ -1077,9 +1090,9 @@ def simhash_bands(batch: pa.Table, *, bands: int = 4,
     space.  Stateless, fully vectorized function stage.
 
     The key is the int64 ``band_id * 2^width + value`` — collision-
-    free across bands because the value is masked to ``width`` bits
-    (``bands * 2^width = 2^64`` exactly, so the namespaces tile the
-    key space disjointly).  ``num_buckets`` adds the coarse ``bucket``
+    free across bands because the value is masked to ``width`` bits,
+    so each band's keys occupy a disjoint 2^width-sized block of the
+    key space.  ``num_buckets`` adds the coarse ``bucket``
     column (key mod num_buckets) for the vectorized reducer, as in
     lsh_bands."""
     n = batch.num_rows
@@ -1167,18 +1180,23 @@ def simhash_neardup_pairs(ds, *, max_hamming: int = 3, bands: int = 4,
     if pair_dedup == "local":
         # same fail-fast ceiling as minhash_lsh_pairs: the one-block
         # coalesce is a small-N shortcut, not a scale plan
-        n_docs = ds.count()
-        if n_docs > LOCAL_PATH_MAX_DOCS:
+        if ds.count() > LOCAL_PATH_MAX_DOCS:
             raise ValueError(
                 f"pair_dedup='local' is a small-N shortcut; corpus has "
                 f"{n_docs} docs > ceiling {LOCAL_PATH_MAX_DOCS}. Use "
                 f"pair_dedup='shuffle'.")
     del concurrency        # accepted for API compat; simhash_batch is
     #                        a stateless task stage, no pool to size
+    # coarse-bucket count from the corpus size (one ds.count(),
+    # metadata-fast for parquet reads) so per-reducer input tracks
+    # ~100k band rows at ANY corpus size — a fixed bucket count would
+    # make the per-task working set O(N*bands/buckets), unbounded
+    n_docs = ds.count()
+    num_buckets = _band_bucket_count(n_docs * bands, None)
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
     bandrows = sh.map_batches(
         functools.partial(simhash_bands, bands=bands,
-                          num_buckets=_band_bucket_count(None, None)),
+                          num_buckets=num_buckets),
         batch_format="pyarrow")
     pairs = bandrows.groupby("bucket").map_groups(
         functools.partial(simhash_bucket_pairs, max_hamming=max_hamming),

@@ -40,11 +40,10 @@ import numpy as np
 import pyarrow as pa
 
 from .dedup import (
-    HOT_BUCKET_CAP, _attach_a_group, _attach_b_group,
-    _band_bucket_count, _candidate_id_filter, _cogroup_pair_rows_a,
-    _cogroup_sig_rows, _distinct_pairs, _rekey_by_other, _sig_matrix,
-    bucket_candidate_ids, bucket_candidate_pairs, lsh_bands,
-    minhash_signatures,
+    _attach_a_group, _attach_b_group, _band_bucket_count,
+    _candidate_id_filter, _cogroup_pair_rows_a, _cogroup_sig_rows,
+    _distinct_pairs, _rekey_by_other, bucket_candidate_ids,
+    bucket_candidate_pairs, lsh_bands, minhash_signatures,
 )
 
 _PARAMS_FILE = "_index_params.json"

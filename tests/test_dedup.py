@@ -376,3 +376,39 @@ def test_signature_stages_slice_boundary_equivalence(monkeypatch):
     monkeypatch.setattr(dedup, "_SIMHASH_TOKEN_BUDGET", 64)
     assert dedup.minhash_signatures(t).equals(big_m)
     assert dedup.simhash_batch(t).equals(big_s)
+
+
+def test_lsh_bands_partial_signature_width():
+    """bands*rows may be LESS than num_perm (trailing slots unused,
+    the scalar construction's semantics); exceeding it must raise."""
+    from gumbo_pp_ray.stages.dedup import lsh_bands
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "signature": pa.array([list(range(16)), list(range(16))],
+                              pa.list_(pa.int64())),
+    })
+    out = lsh_bands(t, bands=2, rows=4)          # uses slots 0..7 only
+    assert out.num_rows == 4
+    k = out.column("band_key").to_pylist()
+    assert k[0:2] == k[2:4]                      # identical sigs agree
+    with pytest.raises(ValueError, match="exceeds signature width"):
+        lsh_bands(t, bands=4, rows=8)
+
+
+def test_hash_str_bucket_uniform():
+    """Bucketing md5-hex strings must reach EVERY bucket with near-
+    uniform load (the ASCII-fold regression left most buckets empty
+    and skewed per-reducer input up to ~129x)."""
+    import hashlib
+
+    from gumbo_pp_ray.stages.dedup import _hash_str_bucket
+
+    hs = pa.chunked_array([pa.array(
+        [hashlib.md5(str(i).encode()).hexdigest()
+         for i in range(20_000)])])
+    for nb in (64, 256):
+        b = _hash_str_bucket(hs, nb)
+        counts = np.bincount(b, minlength=nb)
+        assert (counts > 0).all()                # every bucket reachable
+        assert counts.max() / (20_000 / nb) < 1.5
