@@ -298,14 +298,6 @@ class _TreeBuilder:
                 del self.afe[idx]
                 return
 
-    def _afe_remove_tag(self, tag):
-        for idx in range(len(self.afe) - 1, -1, -1):
-            e = self.afe[idx]
-            if e is not _AFE_MARKER and e[0] == tag:
-                del self.afe[idx]
-                return True
-        return False
-
     def _afe_clear_to_marker(self):
         while self.afe:
             e = self.afe.pop()
@@ -463,8 +455,12 @@ class _TreeBuilder:
                 if nafe is None:
                     del self.stack[node_idx]
                     continue
+                # anchored at last_node's start so offsets stay
+                # monotonic (parent.start <= child.start) and raw
+                # slices of adopted subtrees recover real source
                 clone = Element(node.tag, dict(self.afe[nafe][1]),
-                                start, start, implied=True)
+                                last_node.start, last_node.start,
+                                implied=True)
                 self.afe[nafe][2] = clone
                 self.stack[node_idx] = clone
                 node = clone
@@ -628,7 +624,14 @@ class _TreeBuilder:
                 for j in range(pos, len(kids)):
                     kids[j].index_within_parent = j
                 return
-        self._append(node)              # no open table: normal insert
+        # no open table: the spec's adjusted insertion location is
+        # inside the FIRST element in the stack (the html element) —
+        # NEVER the stack top: during adoption the top can be the very
+        # node being re-parented, and appending there creates a
+        # detached parent cycle that silently swallows the rest of
+        # the document (round-5 review finding, fuzz-reproduced on
+        # stray <tr>/<tbody> + misnested formatting soup)
+        self._append_child(self.stack[0], node)
 
     def start_tag(self, tag: str, attrs: dict, start: int, end: int,
                   self_closing: bool) -> Element:

@@ -488,3 +488,44 @@ def test_formatting_end_tag_never_crosses_table_cell():
     doc = p("<b>x<table><tr><td>y</b>z</td></tr></table>")
     spans = [(s[0], s[1]) for s in extract_spans(doc)]
     assert spans == [("text", "x"), ("table_cell", "yz")]
+
+
+def test_adoption_foster_no_table_keeps_rest_of_document():
+    """Adoption agency with a table-scaffold common ancestor but NO
+    open <table>: the foster fallback must insert before/into the
+    html element — never the stack top, which at that point is the
+    furthest block itself (a detached parent cycle that silently
+    swallowed everything after the trigger; round-5 review finding,
+    fuzz-reproduced on stray-scaffold + misnested formatting soup)."""
+    from gumbo_pp_ray.html.parser import parse
+    from gumbo_pp_ray.html.text import content_text
+    from gumbo_pp_ray.html.walk import walk
+
+    for src, want in (("<tr><em><p></em>w", "w"),
+                      ("<tbody><b><div></b>LOST", "LOST"),
+                      ("<thead><i><section></i>tail kept", "tail kept")):
+        doc = parse(src)
+        assert content_text(doc) == want, src
+        # and the tree is a tree: the walk terminates and sees a
+        # bounded node count (a parent cycle would loop forever)
+        assert sum(1 for _ in walk(doc)) < 50
+
+
+def test_adoption_clone_offsets_monotonic():
+    """Intermediate adoption clones anchor at their first child's
+    start: parent.start <= child.start everywhere, so raw slices of
+    adopted subtrees recover real source."""
+    from gumbo_pp_ray.html.parser import parse
+
+    doc = parse("<b>1<i>2<p>3</b>4")
+
+    def check(node):
+        for c in node.children:
+            ns = getattr(node, "start", None)
+            cs = getattr(c, "start", None)
+            if ns is not None and cs is not None:
+                assert cs >= ns, (node.tag, ns, getattr(c, "tag", "txt"),
+                                  cs)
+            check(c)
+
+    check(doc)
