@@ -77,12 +77,18 @@ def _decode_http(payload: bytes) -> tuple[int | None, str, str]:
             ' "\'') or "utf-8"
     try:
         text = body.decode(charset, errors="replace")
-    except LookupError:                   # unknown charset label
+    except (LookupError, ValueError):     # unknown / NUL-poisoned label
         text = body.decode("utf-8", errors="replace")
     return status, mime, text
 
 
 _MAX_HEADER = 1 << 20     # a WARC header block past 1 MiB is corrupt
+#: Content-Length sanity cap: a resync landing inside a payload can
+#: parse a bogus huge length from look-alike bytes; without a cap,
+#: fill() would buffer the rest of the decompressed archive (the
+#: round-4 OOM hazard the streaming scanner exists to prevent).
+#: Real Common Crawl records are << 1 GiB.
+_MAX_RECORD = 1 << 30
 
 
 class _ChainReader:
@@ -209,6 +215,11 @@ def iter_warc_stream(fileobj, *, source: str = "", _stats: dict | None = None):
     instrumentation for the memory bound).
     """
     head = fileobj.read(2) or b""
+    while len(head) == 1:                  # pipes may return short reads
+        more = fileobj.read(1)
+        if not more:
+            break
+        head += more
     raw = _ChainReader(head, fileobj)
     stream = _GunzipReader(raw) if head[:2] == b"\x1f\x8b" else raw
     rs = _RecordStream(stream)
@@ -255,11 +266,20 @@ def iter_warc_stream(fileobj, *, source: str = "", _stats: dict | None = None):
                 yield err_row("bad-content-length", hdrs)
                 del buf[:head_end + len(_CRLF2)]   # resync at next magic
                 continue
+            if length > _MAX_RECORD:
+                # implausible length (usually a resync landing inside
+                # a payload that quotes WARC markup) — quarantine
+                # instead of buffering to EOF
+                yield err_row("oversized-record", hdrs)
+                del buf[:head_end + len(_CRLF2)]
+                continue
             body_start = head_end + len(_CRLF2)
             rs.fill(body_start + length + len(_CRLF2))
             payload = bytes(buf[body_start:body_start + length])
             if len(payload) < length:
-                yield err_row("truncated-payload", hdrs, len(payload))
+                if not rs.error:           # gzip-corrupt reports once,
+                    yield err_row("truncated-payload", hdrs,   # below
+                                  len(payload))
                 break
             consumed = body_start + length
             # spec: two CRLFs close a record; tolerate their absence
@@ -336,7 +356,7 @@ def read_warc(paths, *, html_only: bool = True,
     ``flush_bytes`` of text, so per-task peak memory is
     max(record size, flush threshold) — independent of archive size.
 
-    ``html_only`` keeps 2xx text/html rows plus all error rows (the
+    ``html_only`` keeps status-200 text/html rows plus all error rows (the
     quarantine must survive downstream filters); pass False for every
     response record.  Feed the result straight into the extraction
     pipeline — html is the raw-bytes-decoded page, exactly what
@@ -402,7 +422,10 @@ def warc_to_interleaved(batch) -> "pa.Table":
             spans.append([])
             ierr.append(errs[i] or "no-payload")
             continue
-        ids.append(url)
+        # same fallback chain as the error path: a lenient header
+        # parse can yield a response with no WARC-Target-URI, and a
+        # null doc_id poisons every downstream groupby / manifest
+        ids.append(url or rids[i] or f"{files[i]}#record-{i}")
         spans.append([{"kind": "text", "text": html,
                        "media_ref": "", "offset": 0}])
         ierr.append(None)

@@ -53,6 +53,14 @@ _EMPTY_REMOVALS = pa.table({
 })
 
 
+# Tokenization contract: tokens are ``str.split()`` (Python/Unicode
+# whitespace).  The DuckDB oracle splits on RE2 '\s+' (ASCII); the
+# two agree on ASCII-whitespace corpora (all driver test data).  On
+# crawl text containing exotic whitespace (NBSP, U+2028, ...) the
+# engine treats it as a separator where SQL would not — the engine's
+# behavior is the intended one for training-data hygiene.
+
+
 def _gram_occurrences(batch: pa.Table, *, k: int,
                       num_partitions: int) -> pa.Table:
     """(doc_id, text) rows → one (bucket, gram_key, doc_id, pos) row
@@ -121,11 +129,18 @@ def _rebuild_docs(group: pa.Table) -> pa.Table:
 
 
 def _apply_removals(docs_t: pa.Table, rdocs: np.ndarray,
-                    rpos: np.ndarray) -> pa.Table:
-    """Docs table + (doc_id, rpos) removal arrays (any order) →
-    cleaned docs.  Shared by both reassembly plans."""
-    order = np.lexsort((rpos, rdocs))
-    rdocs, rpos = rdocs[order], rpos[order]
+                    rpos: np.ndarray, *,
+                    presorted: bool = False) -> pa.Table:
+    """Docs table + (doc_id, rpos) removal arrays → cleaned docs.
+    Shared by both reassembly plans.  ``presorted=True`` skips the
+    lexsort when the arrays were sorted once at broadcast time
+    (re-sorting up to 4M rows per doc BATCH dominated the broadcast
+    plan's per-batch cost).  Docs with NO removals pass through
+    byte-identical — the stage never rewrites whitespace it did not
+    touch; rebuilt (touched) docs are single-space token joins."""
+    if not presorted:
+        order = np.lexsort((rpos, rdocs))
+        rdocs, rpos = rdocs[order], rpos[order]
     dids = docs_t.column("doc_id").to_numpy(zero_copy_only=False)
     starts = np.searchsorted(rdocs, dids, side="left")
     ends = np.searchsorted(rdocs, dids, side="right")
@@ -137,14 +152,17 @@ def _apply_removals(docs_t: pa.Table, rdocs: np.ndarray,
         removed = rpos[a:b]
         if len(removed):
             keep = np.ones(len(toks), dtype=bool)
-            keep[removed] = False
-            kept = [t for t, m in zip(toks, keep) if m]
+            keep[removed] = False          # dedupes repeated positions
+            text_out = " ".join(
+                t for t, m in zip(toks, keep) if m)
+            n_rm = int((~keep).sum())
         else:
-            kept = toks
+            text_out = s                  # untouched: byte-identical
+            n_rm = 0
         out_id.append(did)
-        out_text.append(" ".join(kept))
+        out_text.append(text_out)
         out_in.append(len(toks))
-        out_rm.append(len(toks) - len(kept))
+        out_rm.append(n_rm)
     return pa.table({
         "doc_id": pa.array(out_id, pa.int64()),
         "text": pa.array(out_text, pa.string()),
@@ -169,7 +187,8 @@ class _BroadcastRebuild:
             "doc_id": batch.column("doc_id").cast(pa.int64()),
             "text": batch.column("text"),
         })
-        return _apply_removals(docs_t, self.rdocs, self.rpos)
+        return _apply_removals(docs_t, self.rdocs, self.rpos,
+                               presorted=True)
 
 
 def substring_dedup(ds, *, k: int = 8, num_partitions: int = 16,
@@ -228,6 +247,8 @@ def substring_rebuild(ds, removals, *, plan: str = "auto",
     chosen exchange plan (see ``substring_dedup``)."""
     import ray
 
+    if plan not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(f"unknown plan: {plan!r}")
     if plan != "cogroup":
         removals = removals.materialize()
     if plan == "auto":
@@ -239,10 +260,11 @@ def substring_rebuild(ds, removals, *, plan: str = "auto",
                                              batch_size=None))
         rem_t = (pa.concat_tables(batches, promote_options="default")
                  if batches else _EMPTY_REMOVALS)
-        ref = ray.put((
-            rem_t.column("doc_id").to_numpy(zero_copy_only=False),
-            rem_t.column("rpos").to_numpy(zero_copy_only=False),
-        ))
+        rdocs = rem_t.column("doc_id").to_numpy(zero_copy_only=False)
+        rpos = rem_t.column("rpos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rpos, rdocs))   # sort ONCE, before the put
+        ref = ray.put((np.ascontiguousarray(rdocs[order]),
+                       np.ascontiguousarray(rpos[order])))
         if concurrency is None:
             from ..state.sizing import default_concurrency
             concurrency = default_concurrency()

@@ -303,3 +303,78 @@ def test_warc_round_trip_property():
         assert all(r["error"] is None for r in rows)
 
     check()
+
+
+def test_nul_poisoned_charset_quarantined_not_fatal():
+    """A charset label with an embedded NUL raises ValueError from
+    bytes.decode — it must fall back to utf-8, never crash the read
+    task (round-5 review finding)."""
+    body = b"<html><body>ok nul charset</body></html>"
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=ut\x00f8\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x.test/nul\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    rows = list(iter_warc_records(rec, source="f"))
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert "ok nul charset" in rows[0]["html"]
+
+
+def test_oversized_content_length_quarantined():
+    """An implausibly huge Content-Length (resync landing inside a
+    payload that quotes WARC markup) must be quarantined instead of
+    buffering the rest of the archive into memory."""
+    bogus = (b"WARC/1.0\r\n"
+             b"WARC-Type: response\r\n"
+             b"Content-Length: 999999999999\r\n\r\n")
+    good = build_warc([{"url": "http://x.test/after",
+                        "html": "<html><body>survivor</body></html>"}])
+    rows = list(iter_warc_records(bogus + good, source="f"))
+    errs = [r for r in rows if r["error"]]
+    assert [r["error"] for r in errs] == ["oversized-record"]
+    ok = [r for r in rows if not r["error"]]
+    assert len(ok) == 1 and "survivor" in ok[0]["html"]
+
+
+def test_missing_target_uri_gets_fallback_doc_id():
+    """A parseable response with no WARC-Target-URI must still get a
+    non-null doc_id on the interleaved path (null ids poison every
+    downstream groupby)."""
+    import pyarrow as pa
+
+    from gumbo_pp_ray.sources.warc import warc_to_interleaved
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:42>\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body + b"\r\n\r\n")
+    rows = list(iter_warc_records(rec, source="f"))
+    assert len(rows) == 1 and rows[0]["url"] is None
+    t = pa.table({k: [r.get(k) for r in rows]
+                  for k in ("warc_file", "record_id", "url", "html",
+                            "error")})
+    out = warc_to_interleaved(t)
+    did = out.column("doc_id").to_pylist()
+    assert did == ["<urn:uuid:42>"]
+
+
+def test_gzip_corrupt_reports_single_error_row():
+    """Mid-payload gzip damage yields exactly ONE quarantine row
+    (gzip-corrupt), not truncated-payload + gzip-corrupt for the same
+    incident."""
+    payload = build_warc(
+        [{"url": f"http://x.test/{i}",
+          "html": f"<html><body>page {i} body text</body></html>"}
+         for i in range(6)])
+    gz = bytearray(gzip.compress(payload))
+    gz[len(gz) // 2] ^= 0xFF                 # bit-flip mid-stream
+    rows = list(iter_warc_records(bytes(gz), source="f"))
+    errs = [r["error"] for r in rows if r["error"]]
+    assert errs == ["gzip-corrupt"]
+    # (prefix recovery itself is pinned by
+    # test_gzip_corrupt_archive_recovers_prefix; this one pins the
+    # single-row quarantine accounting)
