@@ -51,7 +51,7 @@ def _ensure_corpus() -> str:
         tables = []
         for k in range(AMPLIFY):
             b = batch.set_column(
-                0, "doc_id",
+                batch.schema.get_field_index("doc_id"), "doc_id",
                 pa.array([i * AMPLIFY + k
                           for i in batch.column("doc_id").to_pylist()],
                          pa.int64()))
@@ -165,7 +165,8 @@ def bench_dedup_incr() -> dict:
         minhash_lsh_pairs_incremental, write_signature_index,
     )
 
-    base_dir = f"/tmp/gumbo_bench/incr-{os.path.basename(SF_DIR)}"
+    base_dir = ("/tmp/gumbo_bench/incr-"
+                f"{os.path.basename(os.path.normpath(SF_DIR))}")
     idx = os.path.join(base_dir, "sigidx")
     shard = os.path.join(base_dir, "shard")
     marker = os.path.join(base_dir, "_bench_ready")
@@ -379,10 +380,19 @@ def cpu_canary_allcore() -> dict:
     for p in ps:
         p.start()
     total = 0
+    import queue as _queue
     for _ in ps:
-        total += q.get()
+        try:
+            # bounded: fork() of a Ray-initialized driver can in rare
+            # cases deadlock a child in an inherited lock before it
+            # reaches q.put — never hang the whole bench on it
+            total += q.get(timeout=30)
+        except _queue.Empty:
+            break
     for p in ps:
-        p.join()
+        p.join(timeout=5)
+        if p.is_alive():
+            p.terminate()
     s1 = stat()
     out = {"miters_per_sec": round(total / 3 / 1e6, 1)}
     if s0 and s1:
@@ -427,8 +437,12 @@ def run_all() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    only = {x for x in os.environ.get("GRAFT_BENCH_ONLY", "")
+            .split(",") if x}
     results = {}
     for name, fn in BENCHES.items():
+        if only and name not in only and name != "extract":
+            continue                   # extract always runs (headline)
         results[name] = fn()
     headline = results["extract"]
     line = {
@@ -482,7 +496,13 @@ def run_scaling() -> dict:
         # starting slightly throttled (BASELINE.md round-4 outlier)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_WAIT_SEC=os.environ.get(
-                       "GRAFT_BENCH_WAIT_SEC", "180"))
+                       "GRAFT_BENCH_WAIT_SEC", "180"),
+                   # only the extract flagship feeds the efficiency
+                   # ratio; running the other five pipelines per leg
+                   # doubled each leg's wall and with it the chance
+                   # of the host phase swinging BETWEEN the legs
+                   GRAFT_BENCH_ONLY=os.environ.get(
+                       "GRAFT_BENCH_ONLY", "extract"))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

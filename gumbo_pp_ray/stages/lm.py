@@ -37,6 +37,22 @@ from ..state.broadcast import Broadcast
 UNK = -1                                 # folded out-of-vocab token id
 
 
+def _token_ids_and_keys(toks: np.ndarray, vocab: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """tokens → (vocab ids with UNK=V, packed bigram keys
+    id1 * (V+1) + id2).  SHARED by training and scoring — the two
+    must produce byte-identical key spaces or every perplexity
+    silently skews."""
+    v = len(vocab)
+    if v:
+        idx = np.searchsorted(vocab, toks)
+        idx[idx >= v] = 0
+        ids = np.where(vocab[idx] == toks, idx, v)       # UNK → v
+    else:
+        ids = np.full(len(toks), v, dtype=np.int64)
+    return ids, ids[:-1].astype(np.int64) * (v + 1) + ids[1:]
+
+
 def _partial_bigram_counts(batch: pa.Table, *, vocab_ref) -> pa.Table:
     """Combiner: per-batch bigram counts over the broadcast vocab
     (out-of-vocab → UNK).  Keys are packed into one int64
@@ -44,19 +60,12 @@ def _partial_bigram_counts(batch: pa.Table, *, vocab_ref) -> pa.Table:
     exchanges a single integer column."""
     from collections import Counter
     vocab = Broadcast.get(vocab_ref)     # sorted np.ndarray of tokens
-    v = len(vocab)
     c: Counter = Counter()
     for text in batch.column("text").to_pylist():
-        toks = np.asarray(text.split())
+        toks = np.asarray(text.split() if text else [])
         if len(toks) < 2:
             continue
-        if v:
-            idx = np.searchsorted(vocab, toks)
-            idx[idx >= v] = 0
-            ids = np.where(vocab[idx] == toks, idx, v)   # UNK → v
-        else:
-            ids = np.full(len(toks), v, dtype=np.int64)
-        keys = ids[:-1].astype(np.int64) * (v + 1) + ids[1:]
+        _, keys = _token_ids_and_keys(toks, vocab)
         c.update(keys.tolist())
     return pa.table({
         "bg": pa.array(list(c.keys()), pa.int64()),
@@ -80,7 +89,7 @@ def _pull_arrow(ds) -> pa.Table:
         sch = ds.schema()
         sch = getattr(sch, "base_schema", sch)
         return pa.table({f.name: pa.array([], f.type) for f in sch})
-    return pa.concat_tables(batches)
+    return pa.concat_tables(batches, promote_options="default")
 
 
 def train_bigram_lm(ds, *, vocab_min_count: int = 5,
@@ -133,9 +142,11 @@ def train_bigram_lm(ds, *, vocab_min_count: int = 5,
     bg_counts = bg_t.column("n").to_numpy(
         zero_copy_only=False).astype(np.int64, copy=False)
     order = np.argsort(bg_keys)
-    # UNK unigram count = total transitions through UNK (sum of its
-    # outgoing bigrams, pre-threshold counts are close enough for a
-    # smoothed denominator; exact would need one more pass)
+    # UNK unigram count = total transitions through UNK, summed from
+    # the SURVIVING bigram rows (post-threshold AND post-cap) — a
+    # deliberate approximation for a smoothed denominator; the exact
+    # pre-filter total would need one more corpus pass, and on a
+    # cap-hitting corpus p(.|UNK) runs slightly high relative to it
     unk_mask = (bg_keys[order] // (v + 1)) == v
     uni_counts[v] = int(bg_counts[order][unk_mask].sum())
     return {"vocab": vocab, "uni": uni_counts,
@@ -156,17 +167,11 @@ class PerplexityScore:
         self.v = len(self.vocab)
 
     def _doc_ppl(self, text: str) -> tuple[int, int]:
-        toks = np.asarray(text.split())
+        toks = np.asarray(text.split() if text else [])
         if len(toks) < 2:
             return (0, 0)
         v = self.v
-        if v:
-            idx = np.searchsorted(self.vocab, toks)
-            idx[idx >= v] = 0
-            ids = np.where(self.vocab[idx] == toks, idx, v)
-        else:
-            ids = np.full(len(toks), v, dtype=np.int64)
-        keys = ids[:-1].astype(np.int64) * (v + 1) + ids[1:]
+        ids, keys = _token_ids_and_keys(toks, self.vocab)
         if len(self.bg_keys):
             pos = np.clip(np.searchsorted(self.bg_keys, keys),
                           0, len(self.bg_keys) - 1)

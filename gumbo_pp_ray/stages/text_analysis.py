@@ -195,7 +195,8 @@ def _partial_token_counts(batch: pa.Table) -> pa.Table:
     from collections import Counter
     c = Counter()
     for t in batch.column("text").to_pylist():
-        c.update(t.split())
+        if t:                         # null/empty text contributes nothing
+            c.update(t.split())
     return pa.table({
         "tok": pa.array(list(c.keys()), pa.string()),
         "partial": pa.array(list(c.values()), pa.int64()),
