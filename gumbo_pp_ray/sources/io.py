@@ -63,7 +63,9 @@ def read_parquet_clean(paths: str | list[str], *,
     ``clean_parquet_schema``)."""
     sample = paths if isinstance(paths, str) else paths[0]
     if os.path.isdir(sample):
-        files = list_input_files(sample)
+        # parquet-only: the default extension list includes .lance,
+        # and feeding a lance file to pq.read_schema fails the read
+        files = list_input_files(sample, exts=(".parquet",))
         sample = files[0] if files else None
     schema = (clean_parquet_schema(sample, columns)
               if sample else None)
@@ -77,11 +79,22 @@ def read_interleaved(paths: str | list[str], *,
     """Read the interleaved document table (Lance if available, else
     Parquet), pruned to the needed columns."""
     columns = columns or INPUT_COLUMNS
-    if _HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
-        return ray.data.read_lance(paths, columns=columns)  # pragma: no cover
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
+    is_lance = (paths.endswith(".lance") if isinstance(paths, str)
+                else bool(paths) and all(
+                    p.endswith(".lance") for p in paths))
+    if is_lance:                               # pragma: no cover - no
+        if not _HAVE_LANCE:                    # lance wheel in sandbox
+            raise ImportError(
+                "input is Lance but the 'lance' wheel is not "
+                "installed; convert to parquet or install lance")
+        # run_extraction hands a LIST of shard files (the resume
+        # unit), so the lance branch must accept lists too, and the
+        # block override matters: blocks==files quantizes to ~1
+        # task/actor (measured ~15% regression on the parquet path)
+        return ray.data.read_lance(paths, columns=columns, **kw)
     return read_parquet_clean(paths, columns=columns, **kw)
 
 

@@ -154,7 +154,8 @@ def hll_distinct_tokens(ds, *, p: int = 12, fanin: int = 64):
 def _batch_distinct_tokens(batch: pa.Table) -> pa.Table:
     toks = set()
     for t in batch.column("text").to_pylist():
-        toks.update(t.split())
+        if t:                        # null/empty text contributes nothing
+            toks.update(t.split())
     return pa.table({"tok": pa.array(sorted(toks), pa.string())})
 
 
@@ -219,6 +220,11 @@ class CountMinSketch:
         return int(min(self.table[r, cols[r, 0]] for r in range(self.d)))
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError(
+                f"cannot merge CMS({self.d},{self.w}) with "
+                f"CMS({other.d},{other.w}) — numpy broadcasting would "
+                "silently produce garbage counts")
         return CountMinSketch(self.d, self.w, self.table + other.table)
 
     def to_bytes(self) -> bytes:
@@ -233,7 +239,8 @@ class CountMinSketch:
 def _cms_batch(batch: pa.Table, *, d: int, w: int) -> pa.Table:
     cms = CountMinSketch(d, w)
     for t in batch.column("text").to_pylist():
-        cms.add_many(t.split())
+        if t:                        # null/empty text contributes nothing
+            cms.add_many(t.split())
     return pa.table({"sketch": pa.array([cms.to_bytes()], pa.binary())})
 
 
@@ -290,12 +297,21 @@ class HistogramSketch:
 
     def add_many(self, values: np.ndarray):
         v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]          # null metric values are SKIPPED,
+        if not len(v):               # not counted in the underflow bin
+            return                   # (NaN floors to INT64_MIN → bin 0)
         idx = np.floor((v - self.lo) / (self.hi - self.lo)
                        * self.bins).astype(np.int64) + 1
         idx = np.clip(idx, 0, self.bins + 1)
         np.add.at(self.counts, idx, 1)
 
     def merge(self, other: "HistogramSketch") -> "HistogramSketch":
+        if (self.lo, self.hi, self.bins) != (other.lo, other.hi,
+                                             other.bins):
+            raise ValueError(
+                "cannot merge histograms over different ranges: "
+                f"[{self.lo},{self.hi})x{self.bins} vs "
+                f"[{other.lo},{other.hi})x{other.bins}")
         return HistogramSketch(self.lo, self.hi, self.bins,
                                self.counts + other.counts)
 
