@@ -216,8 +216,14 @@ def asof_join_events_orders(events_ds, orders_ds, *,
         functools.partial(_add_bucket, num_buckets=num_buckets),
         batch_format="pyarrow")
     if slice_sec is None:
-        return both.groupby("bucket").map_groups(_bucket_asof,
-                                                 batch_format="pandas")
+        # num_partitions MUST track num_buckets: Ray's sort-based
+        # groupby otherwise defaults its partition count to the input
+        # block count, so one map_groups task would materialize
+        # ~input/blocks rows — unbounded at corpus scale, defeating
+        # the _ROWS_PER_BUCKET sizing
+        return both.groupby(
+            "bucket", num_partitions=num_buckets).map_groups(
+            _bucket_asof, batch_format="pandas")
     both = both.map_batches(
         functools.partial(_add_slice, slice_sec=slice_sec),
         batch_format="pyarrow")
@@ -238,7 +244,8 @@ def asof_join_events_orders(events_ds, orders_ds, *,
     both = both.map_batches(add_cell_bucket, batch_format="pyarrow")
     phase1 = both.groupby("cell", num_partitions=num_buckets).map_groups(
         _sliced_asof_phase1, batch_format="pandas")
-    return phase1.groupby("bucket").map_groups(
+    return phase1.groupby(
+        "bucket", num_partitions=num_buckets).map_groups(
         _sliced_asof_phase2, batch_format="pandas")
 
 
@@ -260,11 +267,11 @@ def _bucket_range_count(group: pd.DataFrame, *, window_sec: int
     rs = right.sort_values(["key", "ts"], kind="stable")
     r_keys = rs["key"].to_numpy()
     r_ts = rs["ts"].to_numpy()
-    key_starts = np.searchsorted(r_keys, np.unique(r_keys), side="left")
-    key_index = dict(zip(np.unique(r_keys).tolist(),
-                         zip(key_starts.tolist(),
-                             np.searchsorted(r_keys, np.unique(r_keys),
-                                             side="right").tolist())))
+    uniq = np.unique(r_keys)
+    key_index = dict(zip(
+        uniq.tolist(),
+        zip(np.searchsorted(r_keys, uniq, side="left").tolist(),
+            np.searchsorted(r_keys, uniq, side="right").tolist())))
     for key, ev in left.groupby("key", sort=False):
         ets = ev["ts"].to_numpy()
         span = key_index.get(key)
@@ -302,6 +309,7 @@ def range_count_events_orders(events_ds, orders_ds, *,
     both = left.union(right).map_batches(
         functools.partial(_add_bucket, num_buckets=num_buckets),
         batch_format="pyarrow")
-    return both.groupby("bucket").map_groups(
+    return both.groupby(
+        "bucket", num_partitions=num_buckets).map_groups(
         functools.partial(_bucket_range_count, window_sec=window_sec),
         batch_format="pandas")

@@ -31,14 +31,26 @@ import pandas as pd
 import pyarrow as pa
 
 
-def add_tumbling_window(batch: pa.Table, *, window_sec: int,
-                        ts_col: str = "ts") -> pa.Table:
+def _period_ids(batch: pa.Table, *, ts_col: str,
+                period_sec: int) -> np.ndarray:
+    """ts column → FLOOR(epoch_us / period) int64 ids.  numpy
+    floor_divide, not pa.compute.divide: Arrow integer divide
+    truncates toward zero, which disagrees with the hopping-window
+    numpy ``//`` and the DuckDB ``//`` oracle on pre-epoch
+    timestamps (a 1969 event must land in window -1, not 0)."""
     ts = batch.column(ts_col)
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
-    us = ts.cast(pa.int64())            # timestamp[us] → microseconds
-    win = pa.compute.divide(us, np.int64(window_sec) * 1_000_000)
-    return batch.append_column("window_id", win)
+    us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return us // (np.int64(period_sec) * 1_000_000)
+
+
+def add_tumbling_window(batch: pa.Table, *, window_sec: int,
+                        ts_col: str = "ts") -> pa.Table:
+    return batch.append_column(
+        "window_id",
+        pa.array(_period_ids(batch, ts_col=ts_col,
+                             period_sec=window_sec)))
 
 
 def tumbling_counts(ds, *, key: str = "user_id", window_sec: int = 86400,
@@ -58,12 +70,10 @@ def tumbling_counts(ds, *, key: str = "user_id", window_sec: int = 86400,
 
 def _add_phase_bucket(batch: pa.Table, *, phase_sec: int,
                       ts_col: str) -> pa.Table:
-    ts = batch.column(ts_col)
-    if isinstance(ts, pa.ChunkedArray):
-        ts = ts.combine_chunks()
-    us = ts.cast(pa.int64())
-    bucket = pa.compute.divide(us, np.int64(phase_sec) * 1_000_000)
-    return batch.append_column("phase_bucket", bucket)
+    return batch.append_column(
+        "phase_bucket",
+        pa.array(_period_ids(batch, ts_col=ts_col,
+                             period_sec=phase_sec)))
 
 
 def _segments_bucket(df: pd.DataFrame, *, gap_sec: int, key: str,
@@ -75,8 +85,14 @@ def _segments_bucket(df: pd.DataFrame, *, gap_sec: int, key: str,
     per-group map_groups dispatch costs ~1-2 ms/group, which dominated
     wall time at ~10k groups."""
     if not len(df):
-        return pd.DataFrame({key: [], "start_ts": [], "end_ts": [],
-                             "n_events": []})
+        # dtype-pinned empty frame (asof.py pattern): object-dtype
+        # columns become null-typed Arrow blocks that can fail schema
+        # unification against the non-empty partitions
+        return pd.DataFrame({
+            key: pd.Series([], dtype="int64"),
+            "start_ts": pd.Series([], dtype="datetime64[us]"),
+            "end_ts": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64")})
     g = df.sort_values([key, "phase_bucket", ts_col], kind="stable")
     delta = g[ts_col].diff().dt.total_seconds()
     boundary = ((g[key] != g[key].shift())
@@ -99,7 +115,10 @@ def _merge_segments_bucket(df: pd.DataFrame, *, gap_sec: int,
     same inter-event gap the single-pass rule tests.  Vectorized over
     the whole bucket."""
     if not len(df):
-        return pd.DataFrame({key: [], "session_id": [], "n_events": []})
+        return pd.DataFrame({
+            key: pd.Series([], dtype="int64"),
+            "session_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64")})
     g = df.sort_values([key, "start_ts", "end_ts"], kind="stable")
     new_user = g[key] != g[key].shift()
     gap = (g["start_ts"] - g["end_ts"].shift()).dt.total_seconds()
@@ -132,8 +151,15 @@ def session_windows(ds, *, key: str = "user_id", gap_sec: int = 1800,
         phase_sec = max(gap_sec * 16, 3600)
     if num_partitions is None:
         # sort-based map_groups pays a fixed cost per partition; derive
-        # the count from data size (same policy as dedup.py)
+        # the count from data size (~100k events per partition — the
+        # same SHAPE as dedup.py's sizing, with a coarser divisor
+        # because session rows are narrow)
         num_partitions = max(8, min(65536, -(-ds.count() // 100_000)))
+    # phase 2 runs over SEGMENT rows (~sessions, orders of magnitude
+    # fewer than events) — reusing the events-derived partition count
+    # would pay the per-partition fixed sort cost hundreds of times
+    # over for near-empty partitions
+    p2_partitions = max(8, num_partitions // 64)
 
     def add_cg_bucket(batch: pa.Table) -> pa.Table:
         # co-group key = hash(key, phase_bucket): a hot user's history
@@ -147,7 +173,7 @@ def session_windows(ds, *, key: str = "user_id", gap_sec: int = 1800,
         h = pd.util.hash_pandas_object(
             batch.select([key]).to_pandas()[key], index=False).to_numpy()
         return batch.append_column(
-            "sg_bucket", pa.array((h % num_partitions).astype(np.int64)))
+            "sg_bucket", pa.array((h % p2_partitions).astype(np.int64)))
 
     ds = ds.map_batches(
         functools.partial(_add_phase_bucket, phase_sec=phase_sec,
@@ -161,7 +187,7 @@ def session_windows(ds, *, key: str = "user_id", gap_sec: int = 1800,
         batch_format="pandas")
     segments = segments.map_batches(add_sg_bucket, batch_format="pyarrow")
     return segments.groupby(
-        "sg_bucket", num_partitions=num_partitions).map_groups(
+        "sg_bucket", num_partitions=p2_partitions).map_groups(
         functools.partial(_merge_segments_bucket, gap_sec=gap_sec,
                           key=key),
         batch_format="pandas")

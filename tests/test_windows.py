@@ -138,3 +138,20 @@ def test_hopping_explode_empty_batch():
     out = explode_hopping_windows(empty, window_sec=3600, hop_sec=900)
     assert out.num_rows == 0
     assert out.column_names == ["user_id", "window_id"]
+
+
+def test_tumbling_pre_epoch_floor_semantics():
+    """Pre-epoch timestamps floor to NEGATIVE window ids (matching
+    the hopping path's numpy // and the DuckDB // oracle) — Arrow's
+    truncate-toward-zero divide merged 1969 events into window 0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gumbo_pp_ray.stages.windows import add_tumbling_window
+
+    ts = pd.to_datetime(["1969-12-31 12:00:00", "1970-01-01 12:00:00"])
+    t = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                  "ts": pa.array(ts.astype("datetime64[us]"))})
+    out = add_tumbling_window(t, window_sec=86400)
+    assert out.column("window_id").to_pylist() == [-1, 0]
