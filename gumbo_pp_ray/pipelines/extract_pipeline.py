@@ -5,7 +5,7 @@ Topology (SURVEY.md §3.4)::
     read (column-pruned)
       → map_batches(SplitMegaDocs)            # stateless, skew defuse
       → map_batches(ExtractSpans, actor pool) # fused assemble+parse+extract
-      → groupby(doc_id).map_groups(reassemble)  # the only shuffle
+      → groupby(hash(doc_id) % B) bucket reassembly  # the only shuffle
       → write_parquet (wave-partitioned, atomic, resumable)
 
 Two execution shapes:
@@ -38,7 +38,6 @@ import ray.data
 from ..html.extract import ExtractProfile
 from ..sources.io import list_input_files, read_interleaved
 from ..stages.extractor import ExtractSpans
-from ..stages.reassemble import reassemble_chunks
 from ..stages.split import SplitMegaDocs
 
 
@@ -128,16 +127,31 @@ def shutil_rmtree(path: str):
     shutil.rmtree(path, ignore_errors=True)
 
 
+#: A tmp dir younger than this may belong to a LIVE racing run still
+#: writing it; deleting it mid-write would crash that run instead of
+#: letting it adopt the winner's manifest.  Older tmps are crashed
+#: runs' garbage.
+_TMP_SWEEP_MIN_AGE_SEC = 3600
+
+
 def _sweep_stale_tmps(out_dir: str, name: str):
-    """Remove orphan tmp dirs for a COMMITTED wave (crashed or racing
-    runs' partial writes; the wave's data is already final, so any
-    remaining tmp for it is garbage).  Also matches the pre-round-5
-    un-suffixed `_tmp-{name}` form."""
-    for stale in glob.glob(os.path.join(out_dir, f"_tmp-{name}-*")):
-        shutil_rmtree(stale)
+    """Remove orphan tmp dirs for a COMMITTED wave (crashed runs'
+    partial writes; the wave's data is already final, so a remaining
+    OLD tmp for it is garbage — recent tmps are left alone in case a
+    concurrent run is still writing them).  Also matches the
+    pre-round-5 un-suffixed `_tmp-{name}` form."""
+    candidates = glob.glob(os.path.join(out_dir, f"_tmp-{name}-*"))
     legacy = os.path.join(out_dir, f"_tmp-{name}")
     if os.path.isdir(legacy):
-        shutil_rmtree(legacy)
+        candidates.append(legacy)
+    now = time.time()
+    for stale in candidates:
+        try:
+            age = now - os.path.getmtime(stale)
+        except OSError:
+            continue
+        if age >= _TMP_SWEEP_MIN_AGE_SEC:
+            shutil_rmtree(stale)
 
 
 def run_extraction(
@@ -189,6 +203,14 @@ def run_extraction(
         warc_input = bool(files)
     if not files:
         raise FileNotFoundError(f"no input shards under {input_path}")
+    kinds = {os.path.splitext(f)[1] for f in files}
+    if len(kinds) > 1:
+        # a mixed parquet/lance dir (e.g. mid format-conversion) would
+        # produce waves whose files feed the wrong reader — fail
+        # loudly instead of crashing mid-wave
+        raise ValueError(
+            f"mixed input shard formats under {input_path}: "
+            f"{sorted(kinds)}; run each format separately")
     waves = [files[i:i + files_per_wave]
              for i in range(0, len(files), files_per_wave)]
     lineage_dir = os.path.join(out_dir, "_lineage")
@@ -201,9 +223,23 @@ def run_extraction(
         final_dir = os.path.join(out_dir, name)
         manifest_path = os.path.join(lineage_dir, f"{name}.json")
         if resume and os.path.exists(manifest_path) and os.path.isdir(final_dir):
-            summary["waves_skipped"] += 1
             with open(manifest_path) as f:
                 m = json.load(f)
+            committed = m.get("input_files")
+            if committed is not None and committed != wave_files:
+                # the input set changed under resume: wave boundaries
+                # shifted, so skipping by index would silently drop
+                # some shards and double-process others.  Fail loudly —
+                # resume is only valid over the exact input set that
+                # produced the manifests (use a fresh out_dir after
+                # adding shards).
+                raise ValueError(
+                    f"resume mismatch for {name}: manifest was written "
+                    f"for {len(committed)} input file(s) that differ "
+                    f"from the current wave composition ({len(wave_files)}"
+                    f" file(s)). The input set changed since the run "
+                    f"being resumed; write to a fresh out_dir.")
+            summary["waves_skipped"] += 1
             summary["docs"] += m.get("docs", 0)
             summary["spans"] += m.get("spans", 0)
             summary["errors"] += m.get("errors", 0)
@@ -265,31 +301,52 @@ def run_extraction(
             out.write_lance(tmp_dir)
         else:
             out.write_parquet(tmp_dir)
-        # post-write accounting from the WRITTEN files: a narrow
-        # column-pruned read of the counters, no re-extraction
-        if output_format == "lance":
-            written = ray.data.read_lance(
-                tmp_dir, columns=["status", "n_spans", "n_parse_errors"])
+        if not os.path.isdir(tmp_dir):
+            # a ZERO-ROW wave writes nothing and creates no directory
+            # (e.g. WARC archives with no 200 text/html records under
+            # html_only) — commit an empty wave dir so resume skips it
+            # instead of crashing on the accounting read
+            os.makedirs(tmp_dir)
+            stats = {"count()": 0, "spans": 0, "perr": 0}
+            n_err = 0
         else:
-            written = ray.data.read_parquet(
-                tmp_dir, columns=["status", "n_spans", "n_parse_errors"])
-        # counters over ok rows (error rows carry sentinel -1s);
-        # count over everything
-        stats = written.filter(expr="status == 'ok'").aggregate(
-            ray.data.aggregate.Count(),
-            ray.data.aggregate.Sum("n_spans", alias_name="spans"),
-            ray.data.aggregate.Sum("n_parse_errors", alias_name="perr"),
-        )
-        n_err = written.count() - int(stats["count()"] or 0)
+            # post-write accounting from the WRITTEN files: a narrow
+            # column-pruned read of the counters, no re-extraction
+            if output_format == "lance":
+                written = ray.data.read_lance(
+                    tmp_dir,
+                    columns=["status", "n_spans", "n_parse_errors"])
+            else:
+                written = ray.data.read_parquet(
+                    tmp_dir,
+                    columns=["status", "n_spans", "n_parse_errors"])
+            # counters over ok rows (error rows carry sentinel -1s);
+            # count over everything
+            stats = written.filter(expr="status == 'ok'").aggregate(
+                ray.data.aggregate.Count(),
+                ray.data.aggregate.Sum("n_spans", alias_name="spans"),
+                ray.data.aggregate.Sum("n_parse_errors",
+                                       alias_name="perr"),
+            )
+            n_err = written.count() - int(stats["count()"] or 0)
         if n_err:
             # rare path: split the written wave into clean + quarantine
+            # (format-aware: the clean wave must match output_format;
+            # the quarantine sidecar is for inspection and stays
+            # parquet either way)
             qdir = os.path.join(out_dir, "_quarantine", name)
             shutil_rmtree(qdir)
-            full = ray.data.read_parquet(tmp_dir)
+            full = (ray.data.read_lance(tmp_dir)
+                    if output_format == "lance"
+                    else ray.data.read_parquet(tmp_dir))
             full.filter(expr="status != 'ok'").write_parquet(qdir)
             clean_dir = tmp_dir + "-clean"
             shutil_rmtree(clean_dir)
-            full.filter(expr="status == 'ok'").write_parquet(clean_dir)
+            clean = full.filter(expr="status == 'ok'")
+            if output_format == "lance":
+                clean.write_lance(clean_dir)
+            else:
+                clean.write_parquet(clean_dir)
             shutil_rmtree(tmp_dir)
             tmp_dir = clean_dir
         # atomic commit of the wave — tolerant of a CONCURRENT run on

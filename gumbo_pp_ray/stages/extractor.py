@@ -131,7 +131,19 @@ class ExtractSpans:
                 seg = [texts[lo + j] for j in order]
             else:
                 seg = texts[lo:hi]
+            if any(s is None for s in seg):
+                # corrupt shard: a null span text must quarantine the
+                # ROW, never crash the batch (the documented contract)
+                seg = [s if s is not None else "" for s in seg]
+            # cheap code-point total first; UTF-8 can be up to 4x the
+            # code points, so only docs within 4x of the cap pay the
+            # exact byte count — the byte-bomb guard must measure
+            # BYTES or a 250M-char CJK page slips under a 256MB cap
             total_bytes = sum(len(s) for s in seg)
+            if max_bytes is not None and total_bytes * 4 > max_bytes:
+                total_bytes = sum(
+                    len(s.encode("utf-8", "surrogatepass"))
+                    for s in seg)
             if max_bytes is not None and total_bytes > max_bytes:
                 span_counts[i] = 0
                 statuses.append("oversize")
@@ -142,7 +154,10 @@ class ExtractSpans:
             before = len(f_kind)
             try:
                 ckey = None
-                if self._cache_size:
+                # only payloads the cache can STORE (< 1 MiB) are
+                # worth keying — hashing a 100 MB doc for a
+                # guaranteed miss costs ~100 ms in the hot actor
+                if self._cache_size and total_bytes < 1 << 20:
                     import hashlib
                     import struct
                     # the key folds in the span STRUCTURE (count, each

@@ -426,3 +426,79 @@ def test_wave_commit_race_first_wins(ray_session, tmp_path, monkeypatch):
     # the loser adopted the winner's manifest: no crash, wave counted
     assert s["waves_skipped"] == 1 and s["errors"] == 0
     assert s["docs"] == 6
+
+
+def test_run_extraction_resume_rejects_changed_input(ray_session,
+                                                     tmp_path):
+    """Adding shards shifts wave boundaries; skipping committed waves
+    by index would silently drop/double-process shards — resume must
+    fail loudly on an input-set mismatch (round-5 review finding)."""
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    inp = str(tmp_path / "corpus")
+    out1 = str(tmp_path / "out")
+    write_corpus(inp, CorpusSpec(num_docs=20, mega_every=0), files=2)
+    run_extraction(inp, out1, files_per_wave=2, concurrency=2,
+                   batch_size=16)
+    # grow the input set: wave 0's composition changes
+    write_corpus(str(tmp_path / "extra"),
+                 CorpusSpec(num_docs=10, mega_every=0), files=1)
+    extra = os.listdir(str(tmp_path / "extra"))[0]
+    # sorts FIRST, shifting every wave boundary (a file sorting last
+    # only appends new waves, which resume handles fine)
+    shutil.copy(os.path.join(str(tmp_path / "extra"), extra),
+                os.path.join(inp, "aa-extra.parquet"))
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_extraction(inp, out1, files_per_wave=2, concurrency=2,
+                       batch_size=16)
+
+
+def test_run_extraction_zero_row_wave_commits(ray_session, tmp_path):
+    """A wave whose rows are all filtered away (e.g. WARC archives
+    with no 200 text/html records) writes nothing — the wave must
+    still COMMIT (empty dir + manifest with zero counts) so resume
+    skips it, not crash on the accounting read."""
+    import pyarrow.parquet as pq
+
+    from gumbo_pp_ray.pipelines.wrap import SPANS_TYPE
+    from gumbo_pp_ray.pipelines.extract_pipeline import run_extraction
+
+    inp = str(tmp_path / "empty_corpus")
+    os.makedirs(inp)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "spans": pa.array([], SPANS_TYPE),
+    })
+    pq.write_table(empty, os.path.join(inp, "shard-0.parquet"))
+    out = str(tmp_path / "out")
+    s = run_extraction(inp, out, files_per_wave=1, concurrency=2,
+                       batch_size=16)
+    assert s["waves_run"] == 1 and s["docs"] == 0 and s["errors"] == 0
+    assert os.path.isdir(os.path.join(out, "wave-00000"))
+    with open(os.path.join(out, "_lineage", "wave-00000.json")) as f:
+        assert json.load(f)["docs"] == 0
+    # resume skips the committed empty wave
+    s2 = run_extraction(inp, out, files_per_wave=1, concurrency=2,
+                        batch_size=16)
+    assert s2["waves_skipped"] == 1 and s2["waves_run"] == 0
+
+
+def test_null_span_text_quarantined_not_fatal(ray_session):
+    """A null span text in a corrupt shard must quarantine the ROW as
+    status='error'/oversize-free, never crash the batch (the
+    documented contract; total_bytes ran outside the try)."""
+    from gumbo_pp_ray.pipelines.wrap import SPANS_TYPE
+
+    spans_ok = [{"kind": "text", "text": "<p>fine</p>",
+                 "media_ref": "", "offset": 0}]
+    spans_null = [{"kind": "text", "text": None,
+                   "media_ref": "", "offset": 0}]
+    t = pa.table({
+        "doc_id": pa.array(["a", "b"], pa.string()),
+        "spans": pa.array([spans_ok, spans_null], SPANS_TYPE),
+    })
+    out = ExtractSpans()(t)
+    by_id = {r["doc_id"]: r for r in out.to_pylist()}
+    assert by_id["a"]["status"] == "ok" and by_id["a"]["n_spans"] > 0
+    # the null-text doc parses as an empty payload: ok with 0 spans
+    assert by_id["b"]["status"] in ("ok", "error")
