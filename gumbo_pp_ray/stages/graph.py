@@ -100,6 +100,7 @@ def _msg_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
         "bucket": pa.array(_bucket(ids, num_buckets), pa.int64()),
         "doc_id": batch.column("node").cast(pa.int64()),
         "label": batch.column("label").cast(pa.int64()),
+        "own": pa.array(np.zeros(len(batch), dtype=np.int8)),
     })
 
 
@@ -109,15 +110,24 @@ def _own_label_rows(batch: pa.Table, *, num_buckets: int) -> pa.Table:
         "bucket": pa.array(_bucket(ids, num_buckets), pa.int64()),
         "doc_id": batch.column("doc_id").cast(pa.int64()),
         "label": batch.column("label").cast(pa.int64()),
+        "own": pa.array(np.ones(len(batch), dtype=np.int8)),
     })
 
 
 def _min_label_group(group: pa.Table) -> pa.Table:
     """Co-group 2: per node, min over (own label ∪ neighbor labels) —
-    vectorized Arrow group_by aggregate inside the bucket."""
+    vectorized Arrow group_by aggregate inside the bucket.  Only ids
+    ANCHORED by an own-label row survive: edges can name ids that are
+    not in nodes_ds, and emitting labels for them would make the
+    cogroup plan's output diverge from the broadcast plan's (which
+    filters unknown targets) — the node table defines the universe."""
     t = pa.table({"doc_id": group.column("doc_id"),
-                  "label": group.column("label")})
-    out = t.group_by("doc_id").aggregate([("label", "min")])
+                  "label": group.column("label"),
+                  "own": group.column("own")})
+    out = t.group_by("doc_id").aggregate([("label", "min"),
+                                          ("own", "max")])
+    anchored = pa.compute.equal(out.column("own_max"), 1)
+    out = out.filter(anchored)
     return pa.table({"doc_id": out.column("doc_id"),
                      "label": out.column("label_min")})
 
@@ -149,7 +159,11 @@ def _cc_broadcast(pairs_ds, nodes_ds, *, max_iters: int):
     # node ids as one numpy array (bounded by the plan gate ≈ 16 B/node;
     # a take_all() of row dicts would cost ~500 B/node in Python objects)
     parts = [ray.get(r) for r in nodes_ds.to_arrow_refs()]
-    keys = np.sort(np.concatenate(
+    # np.unique sorts AND dedupes: duplicate doc_ids in nodes_ds would
+    # otherwise keep a stale shadow row (searchsorted only ever
+    # updates the leftmost occurrence) and emit contradictory
+    # cluster assignments for the same doc
+    keys = np.unique(np.concatenate(
         [t.column("doc_id").to_numpy(zero_copy_only=False)
          for t in parts if t.num_rows] or
         [np.array([], dtype=np.int64)]).astype(np.int64))
@@ -157,6 +171,9 @@ def _cc_broadcast(pairs_ds, nodes_ds, *, max_iters: int):
 
     def partial_min(batch: pa.Table, *, labels_ref) -> pa.Table:
         k, lab = ray.get(labels_ref)
+        if len(k) == 0:                # no nodes: nothing to label
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
         node = batch.column("node").to_numpy(zero_copy_only=False)
         nbr = batch.column("nbr").to_numpy(zero_copy_only=False)
         idx = np.searchsorted(k, nbr)

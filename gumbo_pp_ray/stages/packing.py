@@ -52,8 +52,12 @@ def assign_contiguous_shards(ds, *, budget: int,
     def add_shard(t: pa.Table, offset: int) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("shard_id", pa.array([], pa.int64()))
-        w = t.column(weight_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # nulls: pa.compute.sum (block_sum) skips them, so treat as
+        # 0 here too — a NaN would astype to INT64_MIN and poison
+        # every subsequent prefix in the block
+        w = np.nan_to_num(
+            t.column(weight_col).to_numpy(zero_copy_only=False)
+            .astype(np.float64), nan=0.0).astype(np.int64)
         prefix = offset + np.concatenate([[0], np.cumsum(w)[:-1]])
         return t.append_column(
             "shard_id", pa.array(prefix // budget, pa.int64()))

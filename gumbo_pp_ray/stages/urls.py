@@ -24,7 +24,24 @@ import re
 import pyarrow as pa
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", re.S)
-_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _host_port(hostport: str) -> tuple[str, str]:
+    """(host, port) split with IPv6 bracket awareness — a plain
+    rsplit(':') would cut inside '[::1]' or treat a userinfo colon as
+    the port separator (callers strip userinfo first)."""
+    if hostport.startswith("["):
+        end = hostport.find("]")
+        if end != -1:
+            host = hostport[:end + 1]
+            rest = hostport[end + 1:]
+            return host, (rest[1:] if rest.startswith(":") else "")
+        return hostport, ""          # malformed bracket: leave intact
+    if ":" in hostport:
+        h, _, p = hostport.rpartition(":")
+        return h, p
+    return hostport, ""
 
 
 def canonicalize_url(url: str) -> str:
@@ -32,21 +49,26 @@ def canonicalize_url(url: str) -> str:
     without a ``scheme://`` prefix are returned trimmed-only (opaque
     identifiers like ``img://…`` DO parse and normalize)."""
     s = url.strip()
-    s = s.split("#", 1)[0]
     m = _SCHEME_RE.match(s)
     if not m:
-        return s
+        return s            # trimmed-only, fragment INCLUDED: non-URL
+    #                         opaque ids keep their full identity
     scheme = m.group(1).lower()
-    rest = m.group(2)
+    rest = m.group(2).split("#", 1)[0]
     cut = len(rest)
     for sep in ("/", "?"):
         i = rest.find(sep)
         if i != -1:
             cut = min(cut, i)
-    hostport, remainder = rest[:cut].lower(), rest[cut:]
-    default = _DEFAULT_PORTS.get(scheme)
-    if default and hostport.endswith(default):
-        hostport = hostport[: -len(default)]
+    auth, remainder = rest[:cut], rest[cut:]
+    # userinfo keeps its case (credentials are case-sensitive); only
+    # the host lowercases, and the port split is IPv6-bracket-aware
+    userinfo, at, hostport = auth.rpartition("@")
+    host, port = _host_port(hostport.lower())
+    if port == _DEFAULT_PORTS.get(scheme):
+        port = ""
+    hostport = f"{host}:{port}" if port else host
+    hostport = f"{userinfo}@{hostport}" if at else hostport
     if remainder.startswith("?"):
         path, _, query = "", "?", remainder[1:]
     else:
@@ -72,8 +94,9 @@ def url_host(url: str) -> str:
         i = rest.find(sep)
         if i != -1:
             cut = min(cut, i)
-    return rest[:cut].lower().rsplit(":", 1)[0] if ":" in rest[:cut] \
-        else rest[:cut].lower()
+    auth = rest[:cut]
+    hostport = auth.rpartition("@")[2]       # drop userinfo
+    return _host_port(hostport.lower())[0]
 
 
 def canonicalize_batch(batch: pa.Table, *, col: str = "url",

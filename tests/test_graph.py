@@ -145,3 +145,32 @@ def test_cc_broadcast_long_chain_converges(ray_session):
     out = connected_components(pairs, nodes, plan="broadcast",
                                max_iters=30).to_pandas()
     assert (out["cluster_id"] == 0).all()
+
+
+def test_cc_plans_agree_on_edge_only_ids(ray_session):
+    """Edges may name ids absent from nodes_ds (e.g. pairs from a
+    stale index); BOTH plans must confine output to the node table —
+    the cogroup plan used to emit label rows for edge-only ids while
+    the broadcast plan dropped them (plan-dependent row counts)."""
+    import ray.data
+
+    from gumbo_pp_ray.stages.graph import connected_components
+
+    pairs = pa.table({"doc_a": pa.array([5, 9], pa.int64()),
+                      "doc_b": pa.array([3, 5], pa.int64())})
+    nodes = pa.table({"doc_id": pa.array([5, 9, 11], pa.int64())})
+    outs = {}
+    for plan in ("broadcast", "cogroup"):
+        rows = connected_components(
+            ray.data.from_arrow(pairs), ray.data.from_arrow(nodes),
+            plan=plan, num_partitions=4).take_all()
+        outs[plan] = sorted((r["doc_id"], r["cluster_id"])
+                            for r in rows)
+    assert outs["broadcast"] == outs["cogroup"]
+    ids = [d for d, _ in outs["broadcast"]]
+    assert ids == [5, 9, 11]                 # node universe only
+    # edge-only id 3 neither labels nor relays: the component is
+    # {5, 9} (joined by the direct 9-5 edge) with min KNOWN id 5
+    by_id = dict(outs["broadcast"])
+    assert by_id[5] == by_id[9] == 5
+    assert by_id[11] == 11
