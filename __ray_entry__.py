@@ -925,7 +925,8 @@ def _q_pdf_layout(sf_dir: str):
                           fn_constructor_kwargs={"parser": "mini"},
                           batch_format="pyarrow", batch_size=64,
                           concurrency=default_concurrency())
-             .map_batches(layout_to_spans, batch_format="pyarrow"))
+             .map_batches(layout_to_spans, batch_format="pyarrow",
+                          batch_size=None))
     return out.map_batches(explode_spans, batch_format="pyarrow")
 
 

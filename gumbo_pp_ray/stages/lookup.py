@@ -35,6 +35,12 @@ class BroadcastLookup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fk = batch.column(self.fk_col).to_numpy(zero_copy_only=False)
+        if not len(self.keys):
+            # empty dimension table: every row misses → default (the
+            # unguarded clip(idx, 0, -1) indexed an empty array)
+            out = np.full(len(fk), self.default, dtype=object)
+            return batch.append_column(
+                self.out_col, pa.array(out.tolist(), pa.string()))
         idx = np.searchsorted(self.keys, fk)
         idx_clamped = np.clip(idx, 0, len(self.keys) - 1)
         hit = self.keys[idx_clamped] == fk

@@ -24,13 +24,6 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-MEDIA_SCHEMA = pa.schema([
-    ("doc_id", pa.string()),
-    ("media_ref", pa.string()),
-    ("media_type", pa.string()),
-    ("payload", pa.binary()),
-])
-
 
 def media_type_of(ref: str) -> str:
     scheme = ref.split("://", 1)[0] if "://" in ref else ""
@@ -255,6 +248,13 @@ class DecodeMedia:
         for p, mt in zip(payloads, mtypes):
             try:
                 fm, a, b, c, f = decode(p or b"", mt)
+                if not (-1 <= a < 1 << 31 and -1 <= b < 1 << 31
+                        and -1 <= c < 1 << 31):
+                    # hostile header geometry (e.g. PNG width 2^31):
+                    # the int32 Arrow build below runs OUTSIDE this
+                    # try, so out-of-range values must become the
+                    # sentinel here or they fail the whole batch
+                    raise ValueError("geometry out of int32 range")
             except Exception:
                 # undecodable payload → sentinel row, batch never fails
                 fm, a, b, c, f = "", -1, -1, 0, np.zeros(

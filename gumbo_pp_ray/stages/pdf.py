@@ -22,15 +22,6 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-LAYOUT_SCHEMA = pa.schema([
-    ("doc_id", pa.string()),
-    ("page", pa.int32()),
-    ("block_idx", pa.int32()),
-    ("text", pa.string()),
-    ("x0", pa.float32()), ("y0", pa.float32()),
-    ("x1", pa.float32()), ("y1", pa.float32()),
-])
-
 _WORDS = ("report summary figure table result method data model "
           "analysis section appendix reference").split()
 
@@ -118,7 +109,12 @@ def _mini_regexes():
         _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\s*(.*?)\s*endobj",
                              re.DOTALL)
         _TD_TJ_RE = re.compile(
-            rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Td\s*\((.*?)(?<!\\)\)\s*Tj",
+            # string body = any run of non-backslash-non-paren chars
+            # or escape pairs — an even-backslash-count-safe close:
+            # a lookbehind alone cannot tell \\) (escaped backslash
+            # then REAL terminator) from \) (escaped paren)
+            rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Td\s*"
+            rb"\(((?:[^\\)]|\\.)*)\)\s*Tj",
             re.DOTALL)
     return _OBJ_RE, _TD_TJ_RE
 
@@ -274,6 +270,12 @@ def layout_to_spans(batch: pa.Table, *, row_band: float = 24.0
 
     Two-column pages interleave correctly because banding groups
     blocks at the same height before x-ordering.
+
+    CONTRACT: batches must be DOC-COMPLETE — call with
+    ``batch_size=None`` directly over PdfParse's output blocks (which
+    keep a document's rows contiguous).  Ray's default rebatching can
+    split a doc's rows across batches, which would emit the doc twice
+    with offset-restarted partial span lists.
     """
     import collections
     docs = collections.defaultdict(list)

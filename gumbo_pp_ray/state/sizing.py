@@ -32,7 +32,10 @@ def default_pool_size(reserve: int = 2, floor: int = 2) -> int:
         single_node = sum(1 for n in ray.nodes() if n.get("Alive")) <= 1
     except Exception:
         single_node = True
-    cap = int(os.environ.get("GRAFT_POOL_CAP", "24"))
+    try:
+        cap = int(os.environ.get("GRAFT_POOL_CAP", "24"))
+    except ValueError:      # config typo must not kill every pipeline
+        cap = 24
     if single_node and cap > 0:
         size = min(size, max(floor, cap))
     return size

@@ -64,7 +64,8 @@ def test_pdf_pipeline_over_ray(ray_session):
     out = (ds.map_batches(PdfParse, fn_constructor_kwargs={"parser": "fake"},
                           batch_format="pyarrow", batch_size=16,
                           concurrency=2)
-             .map_batches(layout_to_spans, batch_format="pyarrow"))
+             .map_batches(layout_to_spans, batch_format="pyarrow",
+                          batch_size=None))
     rows = out.take_all()
     ids = {r["doc_id"] for r in rows}
     assert ids == {"p1", "p2"}
